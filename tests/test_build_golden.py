@@ -1,0 +1,123 @@
+"""Golden tests: our index builder must produce byte-identical .rsh files to
+the reference emsar-build binary (a pure-combinatorics output, so exact
+equality is achievable)."""
+
+import numpy as np
+import pytest
+
+from emsar_tpu.config import BuildConfig, StrandType
+from emsar_tpu.index.build import build_pe_index, build_se_index
+from emsar_tpu.io.fasta import build_transcriptome
+from tests.util import random_transcriptome, run_ref_build, write_fasta
+
+
+def _diff(path_a, path_b):
+    with open(path_a, "rb") as fa, open(path_b, "rb") as fb:
+        a, b = fa.read(), fb.read()
+    if a == b:
+        return None
+    la, lb = a.split(b"\n"), b.split(b"\n")
+    for i, (x, y) in enumerate(zip(la, lb)):
+        if x != y:
+            return f"line {i}: ours={x[:200]!r} ref={y[:200]!r}"
+    return f"line count differs: ours={len(la)} ref={len(lb)}"
+
+
+def _run_case(tmp_path, rng, n, readlength, pe, strand="ns",
+              shared_frac=0.6, n_frac=0.0, backend="jax",
+              min_frag=1, max_frag=None, extra_ref=None):
+    names, seqs = random_transcriptome(rng, n, min_len=25, max_len=250,
+                                       shared_frac=shared_frac, n_frac=n_frac)
+    fasta = str(tmp_path / "t.fa")
+    write_fasta(fasta, names, seqs)
+
+    extra = list(extra_ref or [])
+    if strand != "ns":
+        extra += ["-s", strand]
+    if max_frag is not None:
+        extra += ["-F", str(max_frag), "-f", str(min_frag)]
+    ref_rsh = run_ref_build(fasta, readlength, str(tmp_path), "ref",
+                            pe=pe, extra=extra)
+
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(pe=pe, strand=StrandType.parse(strand, pe),
+                      min_fraglength=min_frag,
+                      max_fraglength=max_frag if max_frag is not None else 400,
+                      verbose=0)
+    if pe:
+        idx = build_pe_index(tx, int(readlength), cfg, backend=backend)
+    else:
+        if "-" in str(readlength):
+            lo, hi = str(readlength).split("-")
+        else:
+            lo = hi = readlength
+        idx = build_se_index(tx, int(lo), int(hi), cfg, backend=backend)
+    ours = str(tmp_path / "ours.rsh")
+    idx.write_text(ours)
+    d = _diff(ours, ref_rsh)
+    assert d is None, d
+
+
+def test_se_unstranded_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(10), n=40, readlength=20, pe=False)
+
+
+def test_se_unstranded_with_N_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(11), n=30, readlength=15,
+              pe=False, n_frac=0.02)
+
+
+def test_se_stranded_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(12), n=40, readlength=20,
+              pe=False, strand="ssf")
+
+
+def test_se_readlength_range_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(13), n=25, readlength="18-21",
+              pe=False)
+
+
+def test_pe_unstranded_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(14), n=15, readlength=20,
+              pe=True, max_frag=60, min_frag=1)
+
+
+def test_pe_stranded_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(15), n=15, readlength=20,
+              pe=True, strand="ssfr", max_frag=60, min_frag=1)
+
+
+def test_pe_unstranded_with_N_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(16), n=12, readlength=15,
+              pe=True, max_frag=50, n_frac=0.02)
+
+
+def test_se_numpy_backend_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(17), n=20, readlength=20,
+              pe=False, backend="numpy")
+
+
+def test_pe_numpy_backend_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(18), n=10, readlength=18,
+              pe=True, max_frag=55, backend="numpy")
+
+
+def test_rsh_text_roundtrip(tmp_path):
+    rng = np.random.default_rng(19)
+    names, seqs = random_transcriptome(rng, 25, shared_frac=0.6)
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(verbose=0)
+    idx = build_se_index(tx, 20, 20, cfg)
+    p1 = str(tmp_path / "a.rsh")
+    idx.write_text(p1)
+    from emsar_tpu.io.rsh import RshIndex
+    idx2 = RshIndex.read_text(p1)
+    p2 = str(tmp_path / "b.rsh")
+    idx2.write_text(p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    # npz sidecar roundtrip
+    idx.write_npz(p1 + ".npz")
+    idx3 = RshIndex.read_npz(p1 + ".npz")
+    p3 = str(tmp_path / "c.rsh")
+    idx3.write_text(p3)
+    assert open(p1, "rb").read() == open(p3, "rb").read()
