@@ -1,0 +1,279 @@
+"""emsar CLI: quantify transcript abundance from alignments.
+
+Flag-compatible with the reference quantifier (src/emsar_main.c):
+
+    emsar <options> -x fastafile outdir outprefix alnfile|alnfilelist
+    emsar <options> -I rshfile  outdir outprefix alnfile|alnfilelist
+    bowtie ... | emsar <options> [-x fasta|-I rsh] outdir outprefix
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import MAX_N_ALNFILES, QuantConfig, StrandType
+from ..ingest.collapse import ReadCollapser, group_alignments
+from ..io import bowtie
+from ..io.bam import read_bam_records
+from ..io.fasta import read_fasta
+from ..io.outputs import (write_fpkm, write_fraglength_dist, write_segments)
+from ..io.rsh import RshIndex
+from ..io.sam import (probe_readlength_range_sam_bam, probe_readlength_sam_bam,
+                      read_sam_records, stream_alignments_pe,
+                      stream_alignments_se)
+from ..index.build import build_pe_index, build_se_index
+from ..config import BuildConfig
+from ..model.quantify import quantify_sample
+from ..utils.timing import phase
+from .common import die, setup_jax
+
+SHORT = "vqPs:b:p:h:t:F:f:n:e:r:d:gm:MHBSW:w:k:i:l:TRI:x:"
+LONG = ["rsh=", "fasta=", "print_segments", "print_sfa", "print_rsh", "BAM",
+        "SAM", "PE", "strand_type=", "multisample", "bias_model=",
+        "posbias_training_len=", "posbias_impute_len=", "binsize=",
+        "maxthread=", "header=", "taglen=", "maxfraglen=", "minfraglen=",
+        "max_repeat=", "nround=", "epsilon=", "precision=", "delta=",
+        "max_niter_mle=", "max_nloop_mle=", "verbose", "no_verbose"]
+
+
+def usage(prog: str) -> None:
+    print(f"Usage : {prog} <options> -x fastafile outdir outprefix "
+          f"alignmentfile|alignmentfilelist")
+    print(f"Usage2 : {prog} <options> -I rshfile outdir outprefix "
+          f"alignmentfile|alignmentfilelist")
+    print(f"Usage3 : bowtie command | {prog} <options> [-x fastafile]"
+          f"[-I rshfile] outdir outprefix")
+    print("\t(see the reference emsar for the full option list; flags are "
+          "compatible)")
+
+
+def _sam_bam_records(path: str, fmt: str):
+    if fmt == "bam":
+        return read_bam_records(path if path else sys.stdin.buffer)
+    return read_sam_records(path if path else sys.stdin)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 2:
+        usage("emsar")
+        return 0
+
+    cfg = QuantConfig()
+    strand_str = "ns"
+    rshfile = ""
+    fastafile = ""
+    try:
+        opts, args = getopt.gnu_getopt(argv, SHORT, LONG)
+    except getopt.GetoptError as e:
+        die(f"error: {e}")
+    for o, a in opts:
+        if o in ("-I", "--rsh"):
+            rshfile = a
+        elif o in ("-x", "--fasta"):
+            fastafile = a
+        elif o in ("-P", "--PE"):
+            cfg.pe = True
+        elif o in ("-s", "--strand_type"):
+            strand_str = a
+        elif o in ("-b", "--binsize"):
+            cfg.binsize = int(a)
+        elif o in ("-p", "--maxthread"):
+            cfg.max_threads = int(a)
+        elif o in ("-h", "--header"):
+            cfg.header_fmt = a[:1]
+        elif o in ("-t", "--taglen"):
+            cfg.taglen = int(a)
+        elif o in ("-F", "--maxfraglen"):
+            cfg.max_fraglength = int(a)
+        elif o in ("-f", "--minfraglen"):
+            cfg.min_fraglength = int(a)
+        elif o in ("-k", "--max_repeat"):
+            cfg.max_repeat = int(a)
+        elif o in ("-n", "--nround"):
+            cfg.num_round = int(a)
+            if cfg.num_round <= 0:
+                die("option -n must be a natural number.")
+        elif o in ("-e", "--epsilon"):
+            cfg.epsilon = float(a)
+        elif o in ("-r", "--precision"):
+            cfg.epsilon_stepsize = float(a)
+        elif o in ("-i", "--max_niter_mle"):
+            cfg.max_niter_mle = int(a)
+        elif o in ("-l", "--max_nloop_mle"):
+            cfg.max_nloop_mle = int(a)
+        elif o in ("-d", "--delta"):
+            cfg.delta = float(a)
+        elif o in ("-g", "--print_segments"):
+            cfg.print_segments = True
+        elif o in ("-m", "--bias_model"):
+            cfg.posmodel = int(a)
+        elif o in ("-M", "--multisample"):
+            cfg.multisample = True
+        elif o == "-H":
+            pass  # reference ignores it too
+        elif o in ("-B", "--BAM"):
+            if cfg.aln_format == "sam":
+                die("error: Options -B(--BAM) and -S(--SAM) cannot be used "
+                    "simultaneously.")
+            cfg.aln_format = "bam"
+        elif o in ("-S", "--SAM"):
+            if cfg.aln_format == "bam":
+                die("error: Options -B(--BAM) and -S(--SAM) cannot be used "
+                    "simultaneously.")
+            cfg.aln_format = "sam"
+        elif o in ("-W", "--posbias_training_len"):
+            cfg.perpos_freq_len = int(a)
+        elif o in ("-w", "--posbias_impute_len"):
+            cfg.perpos_freq_impute_len = int(a)
+        elif o in ("-T", "--print_sfa"):
+            cfg.print_sfa = True
+        elif o in ("-R", "--print_rsh"):
+            cfg.print_rsh = True
+        elif o in ("-v", "--verbose"):
+            cfg.verbose = 2
+        elif o in ("-q", "--no_verbose"):
+            cfg.verbose = 0
+
+    if not rshfile and not fastafile:
+        die("error: either fasta file or an rsh file must be used as an input.")
+    if cfg.min_fraglength > cfg.max_fraglength or cfg.min_fraglength < 1 \
+            or cfg.max_fraglength < 1:
+        die("error: invalid fragment length range.")
+    try:
+        cfg.strand = StrandType.parse(strand_str, cfg.pe)
+    except ValueError:
+        die("error: invalid strand type.")
+
+    if len(args) < 2:
+        usage("emsar")
+        return 0
+    outdir, outprefix = args[0], args[1]
+    alnarg = args[2] if len(args) > 2 else ""
+
+    # alignment file list
+    if not cfg.multisample:
+        alnfiles = [alnarg]
+    else:
+        try:
+            with open(alnarg) as fh:
+                alnfiles = [ln.rstrip("\n") for ln in fh if ln.rstrip("\n")]
+        except OSError:
+            die("Can't open alignment list file.")
+        if not alnfiles:
+            die("No alignment files in the alignment list")
+        if len(alnfiles) > MAX_N_ALNFILES:
+            die(f"error: too many alignment files (max {MAX_N_ALNFILES})")
+
+    os.makedirs(outdir, exist_ok=True)
+    setup_jax()
+    return run_quantifier(cfg, fastafile, rshfile, outdir, outprefix, alnfiles)
+
+
+def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
+                   outdir: str, outprefix: str, alnfiles: List[str]) -> int:
+    rshfile_out = os.path.join(outdir, outprefix + ".rsh")
+
+    if not rshfile:
+        with phase("reading fasta file", cfg.verbose):
+            tx = read_fasta(fastafile, cfg.header_fmt)
+        # learn read length(s) from the first alignment file (reference
+        # src/emsar_main.c:307-316)
+        with phase("probing read length", cfg.verbose):
+            if cfg.pe:
+                if cfg.aln_format == "bowtie":
+                    rl = bowtie.probe_readlength(
+                        alnfiles[0] if alnfiles[0] else sys.stdin)
+                else:
+                    rl = probe_readlength_sam_bam(
+                        _sam_bam_records(alnfiles[0], cfg.aln_format))
+                rl_lo = rl_hi = rl
+            else:
+                if cfg.aln_format == "bowtie":
+                    rl_lo, rl_hi = bowtie.probe_readlength_range(alnfiles[0])
+                else:
+                    rl_lo, rl_hi = probe_readlength_range_sam_bam(
+                        _sam_bam_records(alnfiles[0], cfg.aln_format))
+        bcfg = BuildConfig(pe=cfg.pe, strand=cfg.strand,
+                           min_fraglength=cfg.min_fraglength,
+                           max_fraglength=cfg.max_fraglength,
+                           max_repeat=cfg.max_repeat,
+                           header_fmt=cfg.header_fmt, binsize=cfg.binsize,
+                           taglen=cfg.taglen, verbose=cfg.verbose)
+        with phase("building rsh index", cfg.verbose):
+            if cfg.pe:
+                index = build_pe_index(tx, rl_lo, bcfg)
+            else:
+                index = build_se_index(tx, rl_lo, rl_hi, bcfg)
+    else:
+        with phase("reading rsh file", cfg.verbose):
+            index = RshIndex.load(rshfile)
+        # -I overrides the fragment-length filter with the header's values
+        # (reference parse_rsh_headerline :1406-1430)
+        cfg.min_fraglength = index.min_fraglength
+        cfg.max_fraglength = index.max_fraglength
+
+    name_to_tid = {n: i for i, n in enumerate(index.names)}
+    pe_readlength = [index.readlength if index.readlength > 0 else -1]
+
+    for i, alnfile in enumerate(alnfiles):
+        with phase(f"reading alignment file {alnfile or '<stdin>'}",
+                   cfg.verbose):
+            collapser = ReadCollapser(index, cfg.min_fraglength,
+                                      cfg.max_fraglength, cfg.max_repeat,
+                                      cfg.pe)
+            if cfg.aln_format == "bowtie":
+                src = alnfile if alnfile else sys.stdin
+                if cfg.pe:
+                    stream = bowtie.read_bowtie_pe(src, name_to_tid,
+                                                   cfg.strand.code,
+                                                   pe_readlength)
+                else:
+                    stream = bowtie.read_bowtie_se(src, name_to_tid,
+                                                   cfg.strand.code)
+            else:
+                records = _sam_bam_records(alnfile, cfg.aln_format)
+                if cfg.pe:
+                    stream = stream_alignments_pe(records, name_to_tid,
+                                                  cfg.strand.code,
+                                                  pe_readlength)
+                else:
+                    stream = stream_alignments_se(records, name_to_tid,
+                                                  cfg.strand.code)
+            collapser.consume(group_alignments(stream))
+            counts = collapser.finish()
+
+        if cfg.print_rsh:
+            with phase("writing rsh file", cfg.verbose):
+                index.write_text(rshfile_out)
+                index.write_npz(rshfile_out + ".npz")
+
+        result = quantify_sample(index, counts, cfg)
+
+        fpkm_path = os.path.join(outdir, f"{outprefix}.{i}.fpkm")
+        write_fpkm(fpkm_path, index.names, result.fpkm_rounds, result.ieuma,
+                   result.total_read_count, cfg.verbose)
+
+        fl_path = os.path.join(outdir, f"{outprefix}.{i}.fraglength_effect")
+        write_fraglength_dist(fl_path, index.fraglen_min, index.n_fraglen,
+                              counts.fraglength_counts, result.wf)
+
+        if cfg.print_segments:
+            seg_path = os.path.join(outdir, f"{outprefix}.{i}.segments")
+            write_segments(seg_path, index.names, result.graph.ct_offsets,
+                           result.graph.ct_tids, result.modules.cs,
+                           result.adj_euma, result.graph.read_count,
+                           result.fpkm, result.total_read_count)
+
+        if cfg.verbose > 0:
+            print(f"Complete: Output file :\n  {fpkm_path}\n  {fl_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""Sequence-sharing module decomposition.
+
+Builds the segment/transcript graph (cid <-> tid) from the rsh index and
+splits it into disjoint modules (connected components), with the
+reference's EUMAcut feedback loop: if any module exceeds
+MAX_NTID_PER_SID transcripts, multi-transcript segments with
+adjEUMA < EUMAcut are excluded and the decomposition restarts with
+EUMAcut += 2 (reference: propagate_2 src/emsar_functions.c:2234-2258 and
+the driver loop src/emsar_main.c:411-425).
+
+The reference uses a recursive DFS; here it's an iterative union-find on
+the host (cheap, irregular), producing flat arrays for the device solver.
+Set ids are numbered by the smallest participating cid, matching the
+reference's assignment order for output parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from ..config import EUMACUT_INCREMENT, MAX_NTID_PER_SID
+
+
+@dataclasses.dataclass
+class SegmentGraph:
+    """CSR cid -> tid multiplicity graph in canonical cid order.
+
+    cids 0..ntid-1 are the single-transcript segments; multi segments
+    follow.  ``ct_tids`` keeps duplicate tids (internal repeats) exactly
+    as the reference's CT arrays do.
+    """
+
+    n_transcripts: int
+    ct_offsets: np.ndarray  # int64 [n_cid + 1]
+    ct_tids: np.ndarray  # int32 flat
+    adj_euma: np.ndarray  # float64 [n_cid]
+    read_count: np.ndarray  # int64 [n_cid]
+
+    @property
+    def n_cid(self) -> int:
+        return len(self.ct_offsets) - 1
+
+
+def build_segment_graph(index, adj_euma: np.ndarray,
+                        read_count: np.ndarray) -> SegmentGraph:
+    """Assemble the CSR graph from an RshIndex + per-cid arrays."""
+    ntid = index.n_transcripts
+    single_off = np.arange(ntid + 1, dtype=np.int64)
+    multi_off = index.sig_offsets + ntid
+    ct_offsets = np.concatenate([single_off, multi_off[1:]])
+    ct_tids = np.concatenate([
+        np.arange(ntid, dtype=np.int32), index.sig_tids.astype(np.int32)])
+    return SegmentGraph(n_transcripts=ntid, ct_offsets=ct_offsets,
+                        ct_tids=ct_tids, adj_euma=adj_euma,
+                        read_count=read_count)
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+@dataclasses.dataclass
+class ModuleDecomposition:
+    cs: np.ndarray  # int64 [n_cid]: cid -> set id, -1 if excluded
+    ts: np.ndarray  # int64 [ntid]: tid -> set id
+    n_sets: int
+    euma_cut: float
+
+
+def decompose_modules(graph: SegmentGraph, euma_cut: float = 0.0,
+                      max_ntid_per_sid: int = MAX_NTID_PER_SID,
+                      verbose: int = 0) -> ModuleDecomposition:
+    """Union tids through active segments; raise EUMAcut until every module
+    has <= max_ntid_per_sid transcripts."""
+    ntid = graph.n_transcripts
+    n_cid = graph.n_cid
+    off, tids = graph.ct_offsets, graph.ct_tids
+    sizes = np.diff(off)
+    multi_mask = sizes > 1
+
+    while True:
+        # active segments participate in the union: all singles, and multi
+        # segments with adjEUMA >= EUMAcut (reference propagate_2 :2242 —
+        # the cut is strict '<', so adjEUMA == EUMAcut == 0 still joins).
+        active = ~multi_mask | (graph.adj_euma >= euma_cut)
+
+        uf = _UnionFind(ntid)
+        for cid in np.flatnonzero(active & multi_mask):
+            first = tids[off[cid]]
+            for k in range(off[cid] + 1, off[cid + 1]):
+                uf.union(first, tids[k])
+        roots = np.fromiter((uf.find(t) for t in range(ntid)),
+                            dtype=np.int64, count=ntid)
+
+        comp_sizes = np.bincount(roots, minlength=ntid)
+        # component tid-count == number of tids whose root is r
+        if comp_sizes.max(initial=0) > max_ntid_per_sid:
+            euma_cut += EUMACUT_INCREMENT
+            if verbose:
+                print(f"[emsar] module too big "
+                      f"({int(comp_sizes.max())}); EUMAcut -> {euma_cut:.0f}")
+            continue
+
+        # set ids numbered by smallest active cid, as the reference's
+        # propagate order does.  Every tid owns single cid == tid, and
+        # singles are always active, so the smallest cid of a component is
+        # the smallest tid in it == the component root (union by min).
+        cs = np.full(n_cid, -1, dtype=np.int64)
+        first_tid = tids[off[:ntid]]  # == arange(ntid)
+        # root per cid (via its first tid); actives only
+        cid_root = roots[tids[off[np.arange(n_cid)]]]
+        # order sets by root tid (== smallest cid in the set)
+        uniq_roots = np.unique(roots)
+        root_to_sid = np.full(ntid, -1, dtype=np.int64)
+        root_to_sid[uniq_roots] = np.arange(len(uniq_roots))
+        cs[active] = root_to_sid[cid_root[active]]
+        ts = root_to_sid[roots]
+        return ModuleDecomposition(cs=cs, ts=ts, n_sets=len(uniq_roots),
+                                   euma_cut=euma_cut)

@@ -1,0 +1,166 @@
+"""Device EM solver for the per-module Poisson likelihood.
+
+The reference maximizes, per module, F = sum_cid R_cid * log(lambda_cid) -
+lambda_cid with lambda_cid = EUMAps_cid * sum_{tid in CT[cid]} FPKM_tid
+(duplicate tids summed with multiplicity) using a sequential per-transcript
+pattern search (MLE, src/emsar_functions.c:3033-3126).  The objective is
+concave in FPKM over the nonnegative orthant, so its maximizer is what the
+output captures; here it is found with multiplicative EM fixed-point
+updates on the identical objective:
+
+    s_c     = sum_t m_ct * theta_t          (segment intensity)
+    theta_t <- theta_t * (sum_c m_ct R_c / s_c) / (sum_c m_ct E_c)
+
+whose fixed points are exactly the KKT points of F.  Because modules are
+disjoint, ALL modules are solved jointly as one global edge list —
+segment-sums and gathers over flat (cid, tid, multiplicity) edges, jitted
+as a lax.while_loop of fused iteration blocks.  This replaces the
+reference's pthread fan-out over sid ranges (run_MLE_threads :2977) with
+one XLA program.
+
+Segments with EUMAps == 0 are excluded (the reference skips them in Fp
+:2952); segments excluded by EUMAcut (sid == -1) are excluded too.
+Transcripts with no active positive-EUMA segment get FPKM = 0 (the
+reference leaves them at a random init in [0,100] because the likelihood
+does not depend on them; deterministic 0 is the documented divergence).
+
+Edge cases preserved: modules with zero reads converge to 0 in one step;
+single-transcript modules converge to R/E in one step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .modules import ModuleDecomposition, SegmentGraph
+
+
+@dataclasses.dataclass
+class SolverProblem:
+    """Flat edge-list formulation of the global likelihood.
+
+    Edges connect active segments (EUMAps > 0, sid != -1) to transcripts
+    with integer multiplicities.  ``eumaps``/``reads`` are per active
+    segment; ``denom`` is sum_c m_ct E_c per transcript.
+    """
+
+    n_transcripts: int
+    edge_cid: np.ndarray  # int32 [E] (active-segment local index)
+    edge_tid: np.ndarray  # int32 [E]
+    edge_mult: np.ndarray  # float [E]
+    eumaps: np.ndarray  # float [C_active]
+    reads: np.ndarray  # float [C_active]
+    denom: np.ndarray  # float [ntid]
+
+
+def build_problem(graph: SegmentGraph, modules: ModuleDecomposition,
+                  eumaps: np.ndarray, read_count: np.ndarray,
+                  dtype=np.float64) -> SolverProblem:
+    """Compress the CSR graph to the active edge list with multiplicities."""
+    ntid = graph.n_transcripts
+    active = (modules.cs >= 0) & (eumaps > 0)
+    act_cids = np.flatnonzero(active)
+    n_active = len(act_cids)
+    # local renumbering of active cids
+    local = np.full(graph.n_cid, -1, dtype=np.int64)
+    local[act_cids] = np.arange(n_active)
+
+    off = graph.ct_offsets
+    sizes = np.diff(off)
+    # expand active cids' tid lists
+    rep = np.repeat(active, sizes)
+    flat_cid = np.repeat(np.arange(graph.n_cid, dtype=np.int64), sizes)[rep]
+    flat_tid = graph.ct_tids[rep].astype(np.int64)
+    # merge duplicates into multiplicities
+    key = flat_cid * ntid + flat_tid
+    uniq, inv, mult = np.unique(key, return_inverse=True, return_counts=True)
+    e_cid = local[(uniq // ntid)].astype(np.int32)
+    e_tid = (uniq % ntid).astype(np.int32)
+    e_mult = mult.astype(dtype)
+
+    E = eumaps[act_cids].astype(dtype)
+    R = read_count[act_cids].astype(dtype)
+    denom = np.zeros(ntid, dtype=dtype)
+    np.add.at(denom, e_tid, e_mult * E[e_cid])
+    return SolverProblem(n_transcripts=ntid, edge_cid=e_cid, edge_tid=e_tid,
+                         edge_mult=e_mult, eumaps=E, reads=R, denom=denom)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_transcripts", "n_segments",
+                                    "block_iters", "max_iters"))
+def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
+              theta0, n_transcripts: int, n_segments: int,
+              block_iters: int, max_iters: int, epsilon):
+    """Run EM until the log-likelihood gain over a block of iterations
+    drops below epsilon.  Returns (theta, logL, n_blocks)."""
+
+    inv_denom = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
+
+    def em_iter(theta):
+        s = jax.ops.segment_sum(edge_mult * theta[edge_tid], edge_cid,
+                                num_segments=n_segments)
+        ratio = jnp.where(s > 0, reads / jnp.where(s > 0, s, 1.0), 0.0)
+        num = jax.ops.segment_sum(edge_mult * ratio[edge_cid], edge_tid,
+                                  num_segments=n_transcripts)
+        return theta * num * inv_denom
+
+    def loglik(theta):
+        s = jax.ops.segment_sum(edge_mult * theta[edge_tid], edge_cid,
+                                num_segments=n_segments)
+        lam = eumaps * s
+        safe = jnp.where(lam > 0, lam, 1.0)
+        return jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
+                                 jnp.where(reads > 0, -1e30, 0.0)))
+
+    def block(state):
+        theta, ll, it, _ = state
+        theta = jax.lax.fori_loop(0, block_iters,
+                                  lambda _, th: em_iter(th), theta)
+        ll_new = loglik(theta)
+        return theta, ll_new, it + 1, ll_new - ll
+
+    def cond(state):
+        _, _, it, gain = state
+        return (gain >= epsilon) & (it * block_iters < max_iters)
+
+    ll0 = loglik(theta0)
+    state = (theta0, ll0, jnp.int32(0), jnp.asarray(jnp.inf, theta0.dtype))
+    theta, ll, it, _ = jax.lax.while_loop(cond, block, block(state))
+    return theta, ll, it
+
+
+def solve(problem: SolverProblem, epsilon: float = 1e-9,
+          max_iters: int = 200000, block_iters: int = 32,
+          dtype=None, theta0: Optional[np.ndarray] = None
+          ) -> Tuple[np.ndarray, float, int]:
+    """Solve the global EM problem; returns (fpkm [ntid], logL, n_blocks)."""
+    ntid = problem.n_transcripts
+    n_seg = len(problem.eumaps)
+    if dtype is None:
+        dtype = problem.eumaps.dtype
+    if n_seg == 0:
+        return np.zeros(ntid, dtype=dtype), 0.0, 0
+    if theta0 is None:
+        # start from the unique-read estimate, floored to stay positive
+        theta0 = np.ones(ntid, dtype=dtype)
+    theta0 = np.where(problem.denom > 0, theta0, 0.0).astype(dtype)
+
+    theta, ll, it = _em_solve(
+        jnp.asarray(problem.edge_cid), jnp.asarray(problem.edge_tid),
+        jnp.asarray(problem.edge_mult.astype(dtype)),
+        jnp.asarray(problem.eumaps.astype(dtype)),
+        jnp.asarray(problem.reads.astype(dtype)),
+        jnp.asarray(problem.denom.astype(dtype)),
+        jnp.asarray(theta0),
+        n_transcripts=ntid, n_segments=n_seg,
+        block_iters=block_iters, max_iters=max_iters,
+        epsilon=jnp.asarray(epsilon, dtype))
+    return np.asarray(theta), float(ll), int(it)

@@ -1,0 +1,134 @@
+"""End-to-end golden tests: simulate reads, align, quantify with both the
+reference binary and our pipeline, and compare outputs.
+
+FPKM/TPM match at solver tolerance (the reference seeds srand(time) so its
+own runs are not bit-reproducible); the combinatorial outputs
+(.fraglength_effect counts, .segments structure) match exactly.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from emsar_tpu.cli import emsar as emsar_cli
+from emsar_tpu.io.fasta import build_transcriptome
+from emsar_tpu.sim import fragments_to_reads, simulate_fragments
+from tests.aligner import bowtie_lines_pe, bowtie_lines_se
+from tests.util import (random_transcriptome, run_ref_build, write_fasta,
+                        REF_EMSAR)
+
+
+def _parse_fpkm(path):
+    names, cols = [], []
+    with open(path) as fh:
+        next(fh)
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            names.append(f[0])
+            cols.append([float(x) for x in f[1:]])
+    return names, np.array(cols)
+
+
+def _make_fixture(tmp_path, rng, n_tx, readlength, pe, fraglen, n_reads,
+                  strand="ns", max_frag=None):
+    names, seqs = random_transcriptome(rng, n_tx, min_len=60, max_len=300,
+                                       shared_frac=0.5)
+    fasta = str(tmp_path / "t.fa")
+    write_fasta(fasta, names, seqs)
+    extra = []
+    if strand != "ns":
+        extra += ["-s", strand]
+    if max_frag is not None:
+        extra += ["-F", str(max_frag)]
+    rsh = run_ref_build(fasta, readlength, str(tmp_path), "idx", pe=pe,
+                        extra=extra)
+
+    tx = build_transcriptome(names, seqs)
+    pos = simulate_fragments(tx, fraglen, n_reads, rng,
+                             strand_specific=(strand != "ns"))
+    rnames, r1, r2 = fragments_to_reads(tx, pos, readlength, fraglen, pe)
+
+    aln = str(tmp_path / "aln.bowtieout")
+    with open(aln, "w") as fh:
+        for i, name in enumerate(rnames):
+            if pe:
+                lines = bowtie_lines_pe(name, r1[i], r2[i], names, seqs,
+                                        max_insert=max_frag or 400)
+            else:
+                lines = bowtie_lines_se(name, r1[i], names, seqs)
+            for ln in lines:
+                fh.write(ln + "\n")
+    return fasta, rsh, aln
+
+
+def _run_both(tmp_path, rsh, aln, pe, strand="ns", extra=()):
+    ref_out = tmp_path / "refout"
+    our_out = tmp_path / "ourout"
+    args = ["-q", "-g"]
+    if pe:
+        args.append("-P")
+    if strand != "ns":
+        args += ["-s", strand]
+    args += list(extra)
+    subprocess.run([REF_EMSAR] + args + ["-I", rsh, str(ref_out), "s", aln],
+                   check=True, capture_output=True)
+    rc = emsar_cli.main(args + ["-I", rsh, str(our_out), "s", aln])
+    assert rc == 0
+    return str(ref_out / "s.0"), str(our_out / "s.0")
+
+
+def _compare(refpref, ourpref, tpm_tol=0.05, fpkm_rel=1e-4):
+    rnames, rcols = _parse_fpkm(refpref + ".fpkm")
+    onames, ocols = _parse_fpkm(ourpref + ".fpkm")
+    assert rnames == onames
+    # eff.length must match to float-print precision
+    np.testing.assert_allclose(ocols[:, 2], rcols[:, 2], rtol=0, atol=5e-6)
+    # FPKM / TPM at solver tolerance
+    scale = max(rcols[:, 0].max(), 1.0)
+    assert np.abs(ocols[:, 0] - rcols[:, 0]).max() <= fpkm_rel * scale, \
+        np.abs(ocols[:, 0] - rcols[:, 0]).max()
+    tpm_diff = np.abs(ocols[:, 5] - rcols[:, 5]).max()
+    assert tpm_diff <= tpm_tol
+    # fraglength_effect: counts column must be identical
+    with open(refpref + ".fraglength_effect") as fh:
+        ref_fl = [ln.split("\t")[:2] for ln in fh]
+    with open(ourpref + ".fraglength_effect") as fh:
+        our_fl = [ln.split("\t")[:2] for ln in fh]
+    assert ref_fl == our_fl
+    # segments: structural columns identical
+    with open(refpref + ".segments") as fh:
+        ref_seg = [ln.split("\t")[:6] for ln in fh]
+    with open(ourpref + ".segments") as fh:
+        our_seg = [ln.split("\t")[:6] for ln in fh]
+    assert ref_seg == our_seg
+    return tpm_diff
+
+
+def test_se_quantify_golden(tmp_path):
+    rng = np.random.default_rng(42)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=40, readlength=20,
+                                pe=False, fraglen=20, n_reads=4000)
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=False)
+    d = _compare(ref, ours)
+    print("SE TPM max diff:", d)
+
+
+def test_pe_quantify_golden(tmp_path):
+    rng = np.random.default_rng(43)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=30, readlength=20,
+                                pe=True, fraglen=50, n_reads=3000,
+                                max_frag=80)
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=True)
+    d = _compare(ref, ours)
+    print("PE TPM max diff:", d)
+
+
+def test_se_stranded_quantify_golden(tmp_path):
+    rng = np.random.default_rng(44)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=30, readlength=18,
+                                pe=False, fraglen=18, n_reads=3000,
+                                strand="ssf")
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=False, strand="ssf")
+    _compare(ref, ours)
