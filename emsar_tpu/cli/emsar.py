@@ -177,6 +177,7 @@ def main(argv=None) -> int:
 
 def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                    outdir: str, outprefix: str, alnfiles: List[str]) -> int:
+    os.makedirs(outdir, exist_ok=True)
     rshfile_out = os.path.join(outdir, outprefix + ".rsh")
 
     if not rshfile:
