@@ -30,9 +30,9 @@ CACHE = os.path.join(REPO, "bench_cache")
 REF_EMSAR = "/root/reference/src/emsar"
 REF_BUILD = "/root/reference/src/emsar-build"
 
-N_TX = 3000
+N_GENES = 700
 READLEN = 50
-N_READS = 200_000
+N_READS = 500_000
 SEED = 1234
 
 
@@ -48,16 +48,15 @@ def ensure_fixture():
     if all(os.path.exists(p) for p in (fasta, rsh, aln)):
         return fasta, rsh, aln
 
-    from tests.util import random_transcriptome, write_fasta
+    from tests.util import write_fasta
     from emsar_tpu.io.fasta import build_transcriptome
     from emsar_tpu.index import pack
     from emsar_tpu.index.kernels import sort_runs
-    from emsar_tpu.sim import simulate_fragments
+    from emsar_tpu.sim import gene_family_transcriptome, simulate_fragments
 
     log("generating fixture (transcriptome + index + alignments)...")
     rng = np.random.default_rng(SEED)
-    names, seqs = random_transcriptome(rng, N_TX, min_len=300, max_len=3000,
-                                       shared_frac=0.5)
+    names, seqs, _ = gene_family_transcriptome(rng, N_GENES)
     write_fasta(fasta, names, seqs)
     subprocess.run([REF_BUILD, "-q", fasta, str(READLEN), CACHE, "bench"],
                    check=True, capture_output=True)

@@ -1,0 +1,772 @@
+// emsar_tpu native ingest: alignment streaming + signature collapse.
+//
+// C++ replacement for the reference's alignment ingestion stack
+// (bowtie/SAM/BAM readers + per-read alignment lists + signature read
+// counting; reference: src/emsar_functions.c:210-943, src/alignment.c,
+// vendored samtools bgzf.c/bam.c).  Exposed through a C ABI consumed via
+// ctypes (emsar_tpu/ingest/native.py).
+//
+// Semantics (must match the Python path bit-for-bit):
+//  * per read: dedup identical (tid,pos,fraglen); keep only min-mismatch
+//    alignments; discard reads with > max_repeat alignments; PE fraglen
+//    discrepancy discards the read
+//  * count single signatures only when the tid has a single-EUMA node;
+//    multi signatures only when present in the index
+//  * every in-range read enters TotalReadCount + the fraglen histogram
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC ingest.cc -o libemsar_ingest.so -lz
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct SigTable {
+    // bytes of sorted int32 multiset -> row id
+    std::unordered_map<std::string, int64_t> map;
+};
+
+struct Counts {
+    int64_t* single_counts;
+    int64_t* multi_counts;
+    int64_t* fraglen_counts;
+    int64_t hist_size;
+    int64_t total_read_count = 0;
+};
+
+struct Aln {
+    int32_t tid;
+    int32_t mm;
+    int32_t fraglen;
+    int32_t pos;
+};
+
+struct Collapser {
+    const SigTable* sigs;
+    const uint8_t* has_single;
+    int64_t min_frag, max_frag;
+    int64_t max_repeat;
+    bool pe;
+    Counts* out;
+
+    std::string cur_id;
+    bool have_id = false;
+    int cur_min_mm = 10000;
+    std::vector<Aln> cur;
+    std::vector<int32_t> tid_buf;
+
+    void flush() {
+        size_t n = cur.size();
+        if (n == 0 || (int64_t)n > max_repeat) return;
+        if (pe && n > 1) {
+            for (size_t i = 1; i < n; i++)
+                if (cur[i].fraglen != cur[0].fraglen) return;
+        }
+        int64_t fraglen = cur[0].fraglen;
+        if (fraglen < min_frag || fraglen > max_frag) return;
+        if (n == 1) {
+            if (has_single[cur[0].tid]) out->single_counts[cur[0].tid]++;
+        } else {
+            tid_buf.clear();
+            for (auto& a : cur) tid_buf.push_back(a.tid);
+            std::sort(tid_buf.begin(), tid_buf.end());
+            std::string key(reinterpret_cast<const char*>(tid_buf.data()),
+                            tid_buf.size() * sizeof(int32_t));
+            auto it = sigs->map.find(key);
+            if (it != sigs->map.end()) out->multi_counts[it->second]++;
+        }
+        if (fraglen < out->hist_size) out->fraglen_counts[fraglen]++;
+        out->total_read_count++;
+    }
+
+    // feed one (read_id, alignment); alignment with tid < 0 means "parsed
+    // but filtered" (strand / orientation) — skipped without breaking the
+    // group, matching the reference's NULL handling.
+    void feed(std::string_view read_id, const Aln& a) {
+        if (a.tid < 0) return;
+        if (!have_id || read_id != cur_id) {
+            if (have_id) flush();
+            cur_id.assign(read_id.data(), read_id.size());
+            have_id = true;
+            cur.clear();
+            cur_min_mm = 10000;
+        }
+        for (auto& e : cur)
+            if (e.tid == a.tid && e.pos == a.pos && e.fraglen == a.fraglen)
+                return;  // exact duplicate
+        if (a.mm > cur_min_mm) return;
+        if (a.mm < cur_min_mm) {
+            cur.clear();
+            cur_min_mm = a.mm;
+        }
+        cur.push_back(a);
+    }
+
+    void finish() {
+        if (have_id) flush();
+        have_id = false;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// line reader (plain files, arbitrarily long lines)
+// ---------------------------------------------------------------------------
+
+struct LineReader {
+    FILE* fh;
+    std::vector<char> buf;
+    explicit LineReader(FILE* f) : fh(f), buf(1 << 16) {}
+    // returns length or -1 at EOF; line is NUL-terminated, newline stripped
+    ssize_t next(char** line) {
+        size_t len = 0;
+        while (true) {
+            if (!fgets(buf.data() + len, (int)(buf.size() - len), fh)) {
+                if (len == 0) return -1;
+                break;
+            }
+            len += strlen(buf.data() + len);
+            if (len > 0 && buf[len - 1] == '\n') {
+                buf[--len] = '\0';
+                break;
+            }
+            if (len + 1 >= buf.size()) buf.resize(buf.size() * 2);
+            else break;  // EOF without newline
+        }
+        *line = buf.data();
+        return (ssize_t)len;
+    }
+};
+
+struct NameTable {
+    std::unordered_map<std::string, int32_t> map;
+};
+
+int mm_from_mmstr(const char* s, size_t len) {
+    if (len == 0) return 0;
+    int mm = 1;
+    for (size_t i = 0; i < len; i++)
+        if (s[i] == ',') mm++;
+    return mm;
+}
+
+int mm_from_md(const char* s) {
+    if (!s) return 0;
+    int mm = 0;
+    for (; *s; s++)
+        if (*s < '0' || *s > '9') mm++;
+    return mm;
+}
+
+struct BowtieFields {
+    std::string_view id, strandf, tname, mmstr;
+    int32_t pos = 0;
+    int32_t readlen = 0;
+    int nfields = 0;
+};
+
+bool split_bowtie(char* line, ssize_t len, BowtieFields* f) {
+    std::string_view fields[16];
+    int n = 0;
+    char* start = line;
+    for (char* p = line;; p++) {
+        if (*p == '\t' || *p == '\0') {
+            if (n < 16) fields[n] = std::string_view(start, p - start);
+            n++;
+            if (*p == '\0') break;
+            start = p + 1;
+        }
+    }
+    f->nfields = n;
+    if (n < 7) return false;
+    f->id = fields[0];
+    f->strandf = fields[1];
+    f->tname = fields[2];
+    f->pos = atoi(std::string(fields[3]).c_str());
+    f->readlen = (int32_t)fields[4].size();
+    f->mmstr = n > 7 ? fields[7] : std::string_view();
+    return true;
+}
+
+// reference check_mate_readid_matching (src/alignment.c:113-126)
+int mate_id_match(std::string_view a, std::string_view b) {
+    if (a.size() != b.size()) return 0;
+    size_t n = a.size();
+    if (n >= 2 && a[n - 2] == '/' && b[n - 2] == '/' &&
+        ((a[n - 1] == '1' && b[n - 1] == '2') ||
+         (a[n - 1] == '2' && b[n - 1] == '1' &&
+          a.substr(0, n - 2) == b.substr(0, n - 2))))
+        return (int)(n - 2);
+    for (size_t i = 0; i < n; i++) {
+        if (a[i] == ' ' && b[i] == ' ') return (int)i;
+        if (a[i] != b[i]) return 0;
+    }
+    return (int)n;
+}
+
+thread_local std::string g_error;
+
+void set_error(const std::string& msg) { g_error = msg; }
+
+}  // namespace
+
+extern "C" {
+
+const char* emsar_ingest_last_error() { return g_error.c_str(); }
+
+void* emsar_make_name_table(const char* blob, const int64_t* offsets,
+                            int64_t n) {
+    auto* t = new NameTable();
+    t->map.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; i++)
+        t->map.emplace(std::string(blob + offsets[i],
+                                   (size_t)(offsets[i + 1] - offsets[i])),
+                       (int32_t)i);
+    return t;
+}
+
+void emsar_free_name_table(void* t) { delete (NameTable*)t; }
+
+void* emsar_make_sig_table(const int64_t* offsets, const int32_t* tids,
+                           int64_t n) {
+    auto* s = new SigTable();
+    s->map.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; i++)
+        s->map.emplace(
+            std::string(reinterpret_cast<const char*>(tids + offsets[i]),
+                        (size_t)(offsets[i + 1] - offsets[i]) * sizeof(int32_t)),
+            i);
+    return s;
+}
+
+void emsar_free_sig_table(void* s) { delete (SigTable*)s; }
+
+// returns 0 on success; fills counts arrays.  readlength_io: in/out for PE
+// (-1 = unknown).
+int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
+                        int64_t max_repeat, int64_t min_frag,
+                        int64_t max_frag, const void* name_table,
+                        const void* sig_table, const uint8_t* has_single,
+                        int64_t* single_counts, int64_t* multi_counts,
+                        int64_t* fraglen_counts, int64_t hist_size,
+                        int64_t* total_out, int64_t* readlength_io) {
+    g_error.clear();
+    FILE* fh = (path && path[0]) ? fopen(path, "r") : stdin;
+    if (!fh) {
+        set_error(std::string("can't open bowtie file ") + path);
+        return -1;
+    }
+    const NameTable* names = (const NameTable*)name_table;
+    Collapser col{(const SigTable*)sig_table, has_single, min_frag, max_frag,
+                  max_repeat, pe != 0,
+                  nullptr};
+    Counts counts{single_counts, multi_counts, fraglen_counts, hist_size};
+    col.out = &counts;
+
+    LineReader rd(fh);
+    char* line;
+    int64_t readlength = *readlength_io;
+    int rc = 0;
+    std::string pair_id;
+
+    if (!pe) {
+        BowtieFields f;
+        while (rd.next(&line) >= 0) {
+            if (!split_bowtie(line, 0, &f)) {
+                set_error("input alignment file doesn't look like bowtieout "
+                          "file");
+                rc = -2;
+                break;
+            }
+            if (strand_code != 0 &&
+                (f.strandf.empty() || f.strandf[0] != (char)strand_code))
+                continue;
+            auto it = names->map.find(std::string(f.tname));
+            if (it == names->map.end()) {
+                set_error("unexisting transcript '" + std::string(f.tname) +
+                          "' in the bowtie output file");
+                rc = -3;
+                break;
+            }
+            col.feed(f.id, Aln{it->second,
+                               mm_from_mmstr(f.mmstr.data(), f.mmstr.size()),
+                               f.readlen, f.pos});
+        }
+    } else {
+        BowtieFields f1, f2;
+        std::vector<char> line1buf;
+        while (rd.next(&line) >= 0) {
+            line1buf.assign(line, line + strlen(line) + 1);
+            if (rd.next(&line) < 0) break;
+            if (!split_bowtie(line1buf.data(), 0, &f1) ||
+                !split_bowtie(line, 0, &f2)) {
+                set_error("input alignment file doesn't look like bowtieout "
+                          "file");
+                rc = -2;
+                break;
+            }
+            int matched = mate_id_match(f1.id, f2.id);
+            if (matched == 0) {
+                set_error("mate read IDs don't match; check bowtie out "
+                          "format");
+                rc = -4;
+                break;
+            }
+            // reference quirk (src/emsar_functions.c:652): mates swap
+            // unless the id's last char is the byte 0x01
+            bool order_reversed = !(f1.id.size() && f1.id.back() == '\x01');
+            pair_id.assign(f1.id.substr(0, matched));
+
+            std::string_view s1 = f1.strandf, s2 = f2.strandf;
+            int32_t p1 = f1.pos, p2 = f2.pos;
+            std::string_view m1 = f1.mmstr, m2 = f2.mmstr;
+            if (order_reversed) {
+                std::swap(p1, p2);
+                std::swap(s1, s2);
+                std::swap(m1, m2);
+            }
+            if (f1.tname != f2.tname) continue;
+            if (readlength == -1) readlength = f1.readlen;
+            if (readlength != f1.readlen || readlength != f2.readlen) {
+                set_error("paired-end data with variable read length is not "
+                          "supported");
+                rc = -5;
+                break;
+            }
+            auto it = names->map.find(std::string(f1.tname));
+            if (it == names->map.end()) {
+                set_error("unexisting transcript '" + std::string(f1.tname) +
+                          "' in the bowtie output file");
+                rc = -3;
+                break;
+            }
+            int mm = mm_from_mmstr(m1.data(), m1.size()) +
+                     mm_from_mmstr(m2.data(), m2.size());
+            char c1 = s1.empty() ? 0 : s1[0];
+            char c2 = s2.empty() ? 0 : s2[0];
+            int32_t fraglen, pos;
+            bool ok;
+            if (p2 > p1) {
+                fraglen = p2 - p1 + (int32_t)readlength;
+                pos = p1;
+                ok = (strand_code != '-') && c1 == '+' && c2 == '-';
+            } else {
+                fraglen = p1 - p2 + (int32_t)readlength;
+                pos = p2;
+                ok = (strand_code != '+') && c1 == '-' && c2 == '+';
+            }
+            col.feed(pair_id, ok ? Aln{it->second, mm, fraglen, pos}
+                                 : Aln{-1, 0, 0, 0});
+        }
+    }
+    col.finish();
+    if (fh != stdin) fclose(fh);
+    *total_out = counts.total_read_count;
+    *readlength_io = readlength;
+    return rc;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM (BGZF) / SAM
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BgzfReader {
+    FILE* fh;
+    std::vector<uint8_t> out;   // decompressed buffer
+    size_t pos = 0;
+    bool eof = false;
+    explicit BgzfReader(FILE* f) : fh(f) { out.reserve(1 << 17); }
+
+    bool fill() {
+        // read one BGZF block
+        uint8_t hdr[12];
+        size_t got = fread(hdr, 1, 12, fh);
+        if (got == 0) {
+            eof = true;
+            return false;
+        }
+        if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+            set_error("not a BGZF/gzip file");
+            eof = true;
+            return false;
+        }
+        uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+        std::vector<uint8_t> extra(xlen);
+        if (fread(extra.data(), 1, xlen, fh) != xlen) {
+            set_error("truncated BGZF header");
+            eof = true;
+            return false;
+        }
+        int bsize = -1;
+        for (size_t off = 0; off + 4 <= extra.size();) {
+            uint8_t si1 = extra[off], si2 = extra[off + 1];
+            uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
+            if (si1 == 66 && si2 == 67 && slen == 2)
+                bsize = extra[off + 4] | (extra[off + 5] << 8);
+            off += 4 + slen;
+        }
+        if (bsize < 0) {
+            set_error("missing BGZF BC subfield");
+            eof = true;
+            return false;
+        }
+        size_t cdata_len = (size_t)bsize - xlen - 19;
+        std::vector<uint8_t> cdata(cdata_len + 8);
+        if (fread(cdata.data(), 1, cdata_len + 8, fh) != cdata_len + 8) {
+            set_error("truncated BGZF block");
+            eof = true;
+            return false;
+        }
+        uint32_t isize = (uint32_t)(cdata[cdata_len + 4] |
+                                    (cdata[cdata_len + 5] << 8) |
+                                    (cdata[cdata_len + 6] << 16) |
+                                    ((uint32_t)cdata[cdata_len + 7] << 24));
+        size_t keep = out.size() - pos;
+        if (pos > 0) {
+            memmove(out.data(), out.data() + pos, keep);
+            out.resize(keep);
+            pos = 0;
+        }
+        size_t base = out.size();
+        out.resize(base + isize);
+        if (isize > 0) {
+            z_stream zs{};
+            inflateInit2(&zs, -15);
+            zs.next_in = cdata.data();
+            zs.avail_in = (uInt)cdata_len;
+            zs.next_out = out.data() + base;
+            zs.avail_out = isize;
+            int zrc = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (zrc != Z_STREAM_END) {
+                set_error("BGZF inflate failed");
+                eof = true;
+                return false;
+            }
+        }
+        return true;
+    }
+
+    // read exactly n bytes; returns pointer valid until next call
+    const uint8_t* read(size_t n) {
+        while (out.size() - pos < n) {
+            if (!fill()) return nullptr;
+        }
+        const uint8_t* p = out.data() + pos;
+        pos += n;
+        return p;
+    }
+};
+
+struct BamRec {
+    std::string qname;
+    int32_t ref_id, pos, l_seq;
+    uint16_t flag;
+    std::string md;
+    bool has_md;
+};
+
+struct BamReader {
+    BgzfReader bgzf;
+    std::vector<std::string> ref_names;
+    std::vector<uint8_t> rec_buf;
+    explicit BamReader(FILE* f) : bgzf(f) {}
+
+    bool open_header() {
+        const uint8_t* p = bgzf.read(4);
+        if (!p || memcmp(p, "BAM\x01", 4) != 0) {
+            set_error("not a BAM file (bad magic)");
+            return false;
+        }
+        p = bgzf.read(4);
+        if (!p) return false;
+        int32_t l_text;
+        memcpy(&l_text, p, 4);
+        if (!bgzf.read((size_t)l_text)) return false;
+        p = bgzf.read(4);
+        if (!p) return false;
+        int32_t n_ref;
+        memcpy(&n_ref, p, 4);
+        ref_names.reserve(n_ref);
+        for (int32_t i = 0; i < n_ref; i++) {
+            p = bgzf.read(4);
+            if (!p) return false;
+            int32_t l_name;
+            memcpy(&l_name, p, 4);
+            p = bgzf.read((size_t)l_name + 4);
+            if (!p) return false;
+            ref_names.emplace_back((const char*)p, (size_t)l_name - 1);
+        }
+        return true;
+    }
+
+    // 1 = got record, 0 = EOF, -1 = error
+    int next(BamRec* r) {
+        const uint8_t* p = bgzf.read(4);
+        if (!p) return bgzf.eof && g_error.empty() ? 0 : (g_error.empty() ? 0 : -1);
+        int32_t block_size;
+        memcpy(&block_size, p, 4);
+        p = bgzf.read((size_t)block_size);
+        if (!p) {
+            set_error("truncated BAM record");
+            return -1;
+        }
+        int32_t ref_id, pos;
+        memcpy(&ref_id, p, 4);
+        memcpy(&pos, p + 4, 4);
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar = (uint16_t)(p[12] | (p[13] << 8));
+        uint16_t flag = (uint16_t)(p[14] | (p[15] << 8));
+        int32_t l_seq;
+        memcpy(&l_seq, p + 16, 4);
+        r->qname.assign((const char*)p + 32, (size_t)l_read_name - 1);
+        r->ref_id = ref_id;
+        r->pos = pos;
+        r->flag = flag;
+        r->l_seq = l_seq;
+        size_t aux_off = 32 + l_read_name + 4 * (size_t)n_cigar +
+                         ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+        r->has_md = false;
+        size_t off = aux_off;
+        auto aux_size = [](uint8_t t) -> size_t {
+            switch (t) {
+                case 'A': case 'c': case 'C': return 1;
+                case 's': case 'S': return 2;
+                case 'i': case 'I': case 'f': return 4;
+                default: return 0;
+            }
+        };
+        while (off + 3 <= (size_t)block_size) {
+            uint8_t t1 = p[off], t2 = p[off + 1], vt = p[off + 2];
+            off += 3;
+            if (vt == 'Z' || vt == 'H') {
+                size_t z = off;
+                while (z < (size_t)block_size && p[z]) z++;
+                if (t1 == 'M' && t2 == 'D') {
+                    r->md.assign((const char*)p + off, z - off);
+                    r->has_md = true;
+                }
+                off = z + 1;
+            } else if (vt == 'B') {
+                uint8_t sub = p[off];
+                int32_t count;
+                memcpy(&count, p + off + 1, 4);
+                off += 5 + aux_size(sub) * (size_t)count;
+            } else {
+                off += aux_size(vt);
+            }
+        }
+        return 1;
+    }
+};
+
+// minimal SAM text record source with the same interface
+struct SamReader {
+    LineReader rd;
+    std::vector<std::string> dummy;
+    NameTable const* names;  // unused; SAM carries names inline
+    explicit SamReader(FILE* f) : rd(f), names(nullptr) {}
+
+    // 1 = record, 0 = EOF, -1 = error.  ref name returned via rname.
+    int next(BamRec* r, std::string* rname) {
+        char* line;
+        ssize_t len;
+        while ((len = rd.next(&line)) >= 0) {
+            if (line[0] == '@') continue;
+            // split into fields
+            std::string_view f[12];
+            int n = 0;
+            char* start = line;
+            char* p = line;
+            for (;; p++) {
+                if (*p == '\t' || *p == '\0') {
+                    if (n < 12) f[n] = std::string_view(start, p - start);
+                    n++;
+                    if (*p == '\0' || n >= 12) break;
+                    start = p + 1;
+                }
+            }
+            if (n < 11) {
+                set_error("malformed SAM line");
+                return -1;
+            }
+            r->qname.assign(f[0]);
+            r->flag = (uint16_t)atoi(std::string(f[1]).c_str());
+            *rname = std::string(f[2]);
+            r->ref_id = (*rname == "*") ? -1 : 0;
+            r->pos = atoi(std::string(f[3]).c_str()) - 1;
+            r->l_seq = (f[9] == "*") ? 0 : (int32_t)f[9].size();
+            r->has_md = false;
+            // the remainder of the line may hold tags
+            if (n >= 12) {
+                // scan rest of line from f[11] onward (f[11] holds the first
+                // tag; further tags still in the buffer after its end)
+                const char* q = f[11].data();
+                while (*q) {
+                    const char* tab = strchr(q, '\t');
+                    size_t tl = tab ? (size_t)(tab - q) : strlen(q);
+                    if (tl > 5 && q[0] == 'M' && q[1] == 'D' && q[2] == ':' &&
+                        q[3] == 'Z' && q[4] == ':') {
+                        r->md.assign(q + 5, tl - 5);
+                        r->has_md = true;
+                    }
+                    if (!tab) break;
+                    q = tab + 1;
+                }
+            }
+            return 1;
+        }
+        return 0;
+    }
+};
+
+template <typename NextFn>
+int ingest_records(NextFn&& next_rec, int pe, int strand_code,
+                   Collapser& col, int64_t* readlength_io) {
+    BamRec r1, r2;
+    int64_t readlength = *readlength_io;
+    int rc;
+    if (!pe) {
+        while ((rc = next_rec(&r1)) == 1) {
+            if (r1.ref_id < 0 || (r1.flag & 0x4)) continue;
+            char strand = (r1.flag & 0x10) ? '-' : '+';
+            if (strand_code != 0 && strand != (char)strand_code) continue;
+            col.feed(r1.qname,
+                     Aln{r1.ref_id, mm_from_md(r1.has_md ? r1.md.c_str()
+                                                         : nullptr),
+                         r1.l_seq, r1.pos});
+        }
+        return rc;
+    }
+    while ((rc = next_rec(&r1)) == 1) {
+        if (r1.ref_id < 0 || (r1.flag & 0x4)) continue;
+        int rc2 = next_rec(&r2);
+        if (rc2 == 0) break;
+        if (rc2 < 0) return rc2;
+        if (r2.ref_id < 0 || (r2.flag & 0x4)) continue;  // skip broken pair
+        if (readlength == -1) readlength = r1.l_seq;
+        if (readlength != r1.l_seq || readlength != r2.l_seq) {
+            set_error("paired-end data with variable read length is not "
+                      "supported");
+            return -5;
+        }
+        BamRec *b1, *b2;
+        if ((r1.flag & 0x40) && (r2.flag & 0x80)) {
+            b1 = &r1;
+            b2 = &r2;
+        } else if ((r2.flag & 0x40) && (r1.flag & 0x80)) {
+            b1 = &r2;
+            b2 = &r1;
+        } else {
+            set_error("mates are not grouped in the BAM/SAM file");
+            return -6;
+        }
+        int mm = mm_from_md(b1->has_md ? b1->md.c_str() : nullptr) +
+                 mm_from_md(b2->has_md ? b2->md.c_str() : nullptr);
+        char s1 = (b1->flag & 0x10) ? '-' : '+';
+        char s2 = (b2->flag & 0x10) ? '-' : '+';
+        int32_t fraglen, pos;
+        bool ok;
+        if (b2->pos > b1->pos) {
+            fraglen = b2->pos - b1->pos + (int32_t)readlength;
+            pos = b1->pos;
+            ok = (strand_code != '-') && s1 == '+' && s2 == '-';
+        } else {
+            fraglen = b1->pos - b2->pos + (int32_t)readlength;
+            pos = b2->pos;
+            ok = (strand_code != '+') && s1 == '-' && s2 == '+';
+        }
+        col.feed(r1.qname,
+                 ok ? Aln{r1.ref_id, mm, fraglen, pos} : Aln{-1, 0, 0, 0});
+    }
+    *readlength_io = readlength;
+    return rc;
+}
+
+}  // namespace
+
+extern "C" int emsar_ingest_bam(
+                     const char* path, int is_sam, int pe, int strand_code,
+                     int64_t max_repeat, int64_t min_frag, int64_t max_frag,
+                     const void* name_table, const void* sig_table,
+                     const uint8_t* has_single, int64_t* single_counts,
+                     int64_t* multi_counts, int64_t* fraglen_counts,
+                     int64_t hist_size, int64_t* total_out,
+                     int64_t* readlength_io) {
+    g_error.clear();
+    FILE* fh = (path && path[0]) ? fopen(path, "rb") : stdin;
+    if (!fh) {
+        set_error(std::string("can't open alignment file ") + path);
+        return -1;
+    }
+    const NameTable* names = (const NameTable*)name_table;
+    Collapser col{(const SigTable*)sig_table, has_single, min_frag, max_frag,
+                  max_repeat, pe != 0, nullptr};
+    Counts counts{single_counts, multi_counts, fraglen_counts, hist_size};
+    col.out = &counts;
+
+    int rc;
+    if (is_sam) {
+        SamReader rd(fh);
+        std::string rname;
+        auto next = [&](BamRec* r) {
+            int res = rd.next(r, &rname);
+            if (res == 1 && r->ref_id >= 0) {
+                auto it = names->map.find(rname);
+                if (it == names->map.end()) {
+                    set_error("unexisting transcript '" + rname +
+                              "' in alignment file");
+                    return -3;
+                }
+                r->ref_id = it->second;
+            }
+            return res;
+        };
+        rc = ingest_records(next, pe, strand_code, col, readlength_io);
+    } else {
+        BamReader rd(fh);
+        if (!rd.open_header()) {
+            if (fh != stdin) fclose(fh);
+            return -7;
+        }
+        // map BAM ref ids -> our tids once
+        std::vector<int32_t> ref2tid(rd.ref_names.size(), -2);
+        auto next = [&](BamRec* r) {
+            int res = rd.next(r);
+            if (res == 1 && r->ref_id >= 0) {
+                int32_t& t = ref2tid[(size_t)r->ref_id];
+                if (t == -2) {
+                    auto it = names->map.find(rd.ref_names[(size_t)r->ref_id]);
+                    if (it == names->map.end()) {
+                        set_error("unexisting transcript '" +
+                                  rd.ref_names[(size_t)r->ref_id] +
+                                  "' in alignment file");
+                        t = -3;
+                    } else {
+                        t = it->second;
+                    }
+                }
+                if (t == -3) return -3;
+                r->ref_id = t;
+            }
+            return res;
+        };
+        rc = ingest_records(next, pe, strand_code, col, readlength_io);
+    }
+    col.finish();
+    if (fh != stdin) fclose(fh);
+    *total_out = counts.total_read_count;
+    return rc < 0 ? rc : 0;
+}
+

@@ -222,32 +222,23 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
     name_to_tid = {n: i for i, n in enumerate(index.names)}
     pe_readlength = [index.readlength if index.readlength > 0 else -1]
 
+    native_collapser = None
+    from ..ingest import native as native_mod
+    if native_mod.available():
+        with phase("building native ingest tables", cfg.verbose):
+            native_collapser = native_mod.NativeCollapser(index)
+
     for i, alnfile in enumerate(alnfiles):
         with phase(f"reading alignment file {alnfile or '<stdin>'}",
                    cfg.verbose):
-            collapser = ReadCollapser(index, cfg.min_fraglength,
-                                      cfg.max_fraglength, cfg.max_repeat,
-                                      cfg.pe)
-            if cfg.aln_format == "bowtie":
-                src = alnfile if alnfile else sys.stdin
-                if cfg.pe:
-                    stream = bowtie.read_bowtie_pe(src, name_to_tid,
-                                                   cfg.strand.code,
-                                                   pe_readlength)
-                else:
-                    stream = bowtie.read_bowtie_se(src, name_to_tid,
-                                                   cfg.strand.code)
+            if native_collapser is not None:
+                counts = native_collapser.collapse_file(
+                    alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
+                    cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
+                    pe_readlength if cfg.pe else None)
             else:
-                records = _sam_bam_records(alnfile, cfg.aln_format)
-                if cfg.pe:
-                    stream = stream_alignments_pe(records, name_to_tid,
-                                                  cfg.strand.code,
-                                                  pe_readlength)
-                else:
-                    stream = stream_alignments_se(records, name_to_tid,
-                                                  cfg.strand.code)
-            collapser.consume(group_alignments(stream))
-            counts = collapser.finish()
+                counts = _collapse_python(index, name_to_tid, cfg, alnfile,
+                                          pe_readlength)
 
         if cfg.print_rsh:
             with phase("writing rsh file", cfg.verbose):
@@ -274,6 +265,30 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
         if cfg.verbose > 0:
             print(f"Complete: Output file :\n  {fpkm_path}\n  {fl_path}")
     return 0
+
+
+def _collapse_python(index: RshIndex, name_to_tid, cfg: QuantConfig,
+                     alnfile: str, pe_readlength):
+    collapser = ReadCollapser(index, cfg.min_fraglength,
+                              cfg.max_fraglength, cfg.max_repeat,
+                              cfg.pe)
+    if cfg.aln_format == "bowtie":
+        src = alnfile if alnfile else sys.stdin
+        if cfg.pe:
+            stream = bowtie.read_bowtie_pe(src, name_to_tid,
+                                           cfg.strand.code, pe_readlength)
+        else:
+            stream = bowtie.read_bowtie_se(src, name_to_tid, cfg.strand.code)
+    else:
+        records = _sam_bam_records(alnfile, cfg.aln_format)
+        if cfg.pe:
+            stream = stream_alignments_pe(records, name_to_tid,
+                                          cfg.strand.code, pe_readlength)
+        else:
+            stream = stream_alignments_se(records, name_to_tid,
+                                          cfg.strand.code)
+    collapser.consume(group_alignments(stream))
+    return collapser.finish()
 
 
 if __name__ == "__main__":

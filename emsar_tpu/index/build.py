@@ -6,16 +6,16 @@ src/emsar_functions.c:3243-3290, 1758-1819):
   for each read length: every all-ACGT window of the forward half is keyed
   by its 2-bit packed words (unstranded: the lexicographic min of the
   fw / rc window, reference initialize_suffixarray_NS_5 canonical pick at
-  :1005); windows are sorted on device; each run of identical keys of
-  length L contributes EUMA[sig, readlength] += 1 where sig is the sorted
-  multiset of the run's transcripts (L == 1 -> single-transcript segment;
-  L >= MAX_REPEAT dropped).
+  :1005); windows are hash-grouped on device; each run of identical
+  sequences of length L contributes EUMA[sig, readlength] += 1 where sig
+  is the sorted multiset of the run's transcripts (L == 1 ->
+  single-transcript segment; L >= MAX_REPEAT dropped).
 
 PE (reference semantics: preprocess_PE + process_mate1_cluster_by_mate_3 +
 construct_rshbucket_PE_3, src/emsar_functions.c:3294-3348, 2823-2934,
 1902-1974):
 
-  mate1 windows (both halves when unstranded) are sorted into clusters of
+  mate1 windows (both halves when unstranded) are grouped into clusters of
   identical sequence; per cluster, every (position, d) candidate with
   d in [Fmin-rl, Fmax-rl] yields a mate2 window at p+d constrained to the
   same transcript span; unstranded candidates are kept only in canonical
@@ -24,41 +24,51 @@ construct_rshbucket_PE_3, src/emsar_functions.c:3294-3348, 2823-2934,
   single-transcript segments, others contribute signatures at fragment
   length d + readlength.
 
-All sorting happens on device via ``kernels.sort_runs``; the
-variable-length signature canonicalization is host-side NumPy.
+All grouping runs on device via the hash kernels in ``kernels.py``; the
+variable-length signature accumulation is vectorized host NumPy (hash
+grouping with exact content verification and a collision fallback).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
+
+import jax.numpy as jnp
 
 from ..config import BuildConfig
 from ..io.fasta import Transcriptome
 from ..io.rsh import RshIndex
 from ..utils.timing import phase
 from . import pack
-from .kernels import sort_runs, run_lengths
+from .kernels import _MULT, _pe_block_jax, _next_pow2, run_lengths, se_group
+
+_SIG_M1 = np.random.default_rng(0xC0FFEE).integers(
+    1, 1 << 63, size=4096, dtype=np.uint64) | np.uint64(1)
+_SIG_M2 = np.random.default_rng(0xFACade).integers(
+    1, 1 << 63, size=4096, dtype=np.uint64) | np.uint64(1)
 
 
 class SignatureAccumulator:
     """Accumulates EUMA counts per (signature, fraglen index).
 
-    Single-transcript signatures go to a dense [ntid, nFraglen] array;
-    multi-transcript signatures are keyed by the bytes of their sorted
-    int32 tid multiset.
+    Single-transcript signatures go to a dense [ntid, nFraglen] array.
+    Multi-transcript signatures (sorted int32 tid multisets) are buffered
+    as flat CSR batches and merged at finalize() by 128-bit hash grouping
+    with exact content verification.
     """
 
     def __init__(self, ntid: int, n_fraglen: int):
         self.ntid = ntid
         self.n_fraglen = n_fraglen
         self.single = np.zeros((ntid, n_fraglen), dtype=np.int64)
-        self._rows: Dict[bytes, int] = {}
-        self._euma: List[np.ndarray] = []
+        self._flat: List[np.ndarray] = []
+        self._sizes: List[np.ndarray] = []
+        self._fl: List[np.ndarray] = []
 
-    def add_single(self, tids: np.ndarray, fl_ind, counts: Optional[np.ndarray] = None):
-        """single EUMA[tid, fl_ind] += counts (default 1 each)."""
+    def add_single(self, tids: np.ndarray, fl_ind,
+                   counts: Optional[np.ndarray] = None):
         if counts is None:
             counts = 1
         if np.isscalar(fl_ind):
@@ -66,52 +76,119 @@ class SignatureAccumulator:
         else:
             np.add.at(self.single, (tids, fl_ind), counts)
 
-    def add_multi(self, sig: bytes, fl_ind: int, count: int = 1):
-        row = self._rows.get(sig)
-        if row is None:
-            row = len(self._euma)
-            self._rows[sig] = row
-            self._euma.append(np.zeros(self.n_fraglen, dtype=np.int64))
-        self._euma[row][fl_ind] += count
-
-    def add_multi_runs(self, sig_flat: np.ndarray, sig_offsets: np.ndarray,
-                       fl_inds: np.ndarray):
-        """Add one count for each signature given as CSR (already sorted
-        multisets), at per-signature fraglen indices."""
-        sig_flat = np.ascontiguousarray(sig_flat, dtype=np.int32)
-        for i in range(len(sig_offsets) - 1):
-            s = sig_flat[sig_offsets[i]:sig_offsets[i + 1]].tobytes()
-            self.add_multi(s, int(fl_inds[i]))
+    def add_multi_batch(self, sig_flat: np.ndarray, sig_sizes: np.ndarray,
+                        fl_inds: np.ndarray):
+        """Buffer a batch of sorted-multiset signatures (CSR via sizes)."""
+        if len(sig_sizes) == 0:
+            return
+        self._flat.append(np.ascontiguousarray(sig_flat, dtype=np.int32))
+        self._sizes.append(np.ascontiguousarray(sig_sizes, dtype=np.int32))
+        self._fl.append(np.ascontiguousarray(fl_inds, dtype=np.int32))
 
     def finalize(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Canonically order multi signatures by (size, tid tuple) and
-        return (sig_offsets, sig_tids, multi_euma)."""
-        n = len(self._euma)
-        if n == 0:
+        """Group identical signatures, return canonically ordered
+        (sig_offsets, sig_tids, multi_euma)."""
+        if not self._flat:
             return (np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32),
                     np.zeros((0, self.n_fraglen), dtype=np.int64))
-        keys = list(self._rows.keys())
-        # big-endian byte order sorts like the int tuple for non-negative tids
-        order = sorted(range(n), key=lambda i: (
-            len(keys[i]),
-            np.frombuffer(keys[i], dtype=np.int32).astype(">i4").tobytes()))
-        sigs = [np.frombuffer(keys[i], dtype=np.int32) for i in order]
-        sizes = np.fromiter((len(s) for s in sigs), dtype=np.int64, count=n)
-        sig_offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(sizes, out=sig_offsets[1:])
-        sig_tids = np.concatenate(sigs).astype(np.int32)
-        multi_euma = np.stack([self._euma[self._rows[keys[i]]] for i in order])
-        return sig_offsets, sig_tids, multi_euma
+        flat = np.concatenate(self._flat)
+        sizes = np.concatenate(self._sizes).astype(np.int64)
+        fl = np.concatenate(self._fl)
+        n = len(sizes)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+
+        # vectorized 128-bit multilinear hash of each signature
+        sig_idx = np.repeat(np.arange(n), sizes)
+        pos_in = np.arange(len(flat)) - np.repeat(offsets[:-1], sizes)
+        vals = (flat.astype(np.uint64) + np.uint64(1))
+        h1 = np.zeros(n, dtype=np.uint64)
+        h2 = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            np.add.at(h1, sig_idx, vals * _SIG_M1[pos_in])
+            np.add.at(h2, sig_idx, vals * _SIG_M2[pos_in])
+            h1 += sizes.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h2 ^= sizes.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+        order = np.lexsort((h2, h1))
+        hs1, hs2 = h1[order], h2[order]
+        newgrp = np.concatenate([[True], (hs1[1:] != hs1[:-1]) |
+                                 (hs2[1:] != hs2[:-1])])
+        grp_of_sorted = np.cumsum(newgrp) - 1
+        n_grp = int(grp_of_sorted[-1]) + 1
+        rep_sorted_idx = np.flatnonzero(newgrp)  # first member per group
+        rep = order[rep_sorted_idx]  # representative signature index
+
+        # exact verification: every member must equal its representative
+        grp_of = np.empty(n, dtype=np.int64)
+        grp_of[order] = grp_of_sorted
+        rep_of = rep[grp_of]
+        ok = sizes == sizes[rep_of]
+        if ok.all():
+            # content comparison via flattened gathers
+            mem_take = np.repeat(offsets[:-1], sizes) + pos_in
+            rep_take = np.repeat(offsets[rep_of], sizes) + pos_in
+            ok_flat = flat[mem_take] == flat[rep_take]
+            mismatch = np.zeros(n, dtype=bool)
+            np.logical_or.at(mismatch, sig_idx, ~ok_flat)
+        else:
+            mismatch = ~ok
+        if mismatch.any():
+            # hash collision (vanishingly rare): exact Python regroup of
+            # the affected hash-groups
+            bad_groups = np.unique(grp_of[mismatch])
+            remap = {}
+            for g in bad_groups:
+                members = np.flatnonzero(grp_of == g)
+                buckets = {}
+                for m in members:
+                    key = flat[offsets[m]:offsets[m + 1]].tobytes()
+                    buckets.setdefault(key, []).append(m)
+                items = list(buckets.items())
+                for k, (key, ms) in enumerate(items):
+                    gid = g if k == 0 else n_grp
+                    if k > 0:
+                        rep = np.append(rep, ms[0])
+                        n_grp += 1
+                    for m in ms:
+                        remap[m] = (gid, ms[0])
+            for m, (gid, r) in remap.items():
+                grp_of[m] = gid
+            rep_of = rep[grp_of]
+
+        # canonical (size, tuple) order of the unique signatures
+        rep_sizes = sizes[rep]
+        max_sz = int(rep_sizes.max())
+        padded = np.full((n_grp, max_sz), np.iinfo(np.int32).max,
+                         dtype=np.int32)
+        rep_rep = np.repeat(np.arange(n_grp), rep_sizes)
+        rep_pos = (np.arange(rep_sizes.sum())
+                   - np.repeat(np.cumsum(rep_sizes) - rep_sizes, rep_sizes))
+        rep_take = np.repeat(offsets[rep], rep_sizes) + rep_pos
+        padded[rep_rep, rep_pos] = flat[rep_take]
+        keys = [padded[:, c] for c in range(max_sz - 1, -1, -1)] + [rep_sizes]
+        canon_order = np.lexsort(tuple(keys))
+        rank = np.empty(n_grp, dtype=np.int64)
+        rank[canon_order] = np.arange(n_grp)
+
+        # EUMA accumulation
+        euma = np.zeros((n_grp, self.n_fraglen), dtype=np.int64)
+        np.add.at(euma, (rank[grp_of], fl), 1)
+
+        out_sizes = rep_sizes[canon_order]
+        sig_offsets = np.zeros(n_grp + 1, dtype=np.int64)
+        np.cumsum(out_sizes, out=sig_offsets[1:])
+        sig_tids = np.empty(int(out_sizes.sum()), dtype=np.int32)
+        for k, g in enumerate(canon_order):
+            sig_tids[sig_offsets[k]:sig_offsets[k + 1]] = \
+                flat[offsets[rep[g]]:offsets[rep[g]] + rep_sizes[g]]
+        return sig_offsets, sig_tids, euma
 
 
 def _sorted_run_signatures(run_id: np.ndarray, tids: np.ndarray,
-                           keep: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Given per-element run ids (sorted order) and transcript ids, build the
-    sorted tid multiset for each kept run.
-
-    Returns (sig_flat, sig_offsets, run_index) where run_index maps each CSR
-    signature back to its run id.
-    """
+                           keep: np.ndarray
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sorted tid multisets of the kept runs: (flat, sizes, kept_run_ids)."""
     mask = keep[run_id]
     rid = run_id[mask]
     t = tids[mask]
@@ -119,72 +196,69 @@ def _sorted_run_signatures(run_id: np.ndarray, tids: np.ndarray,
     rid = rid[order]
     t = t[order]
     kept_runs, counts = np.unique(rid, return_counts=True)
-    offsets = np.zeros(len(kept_runs) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    return t.astype(np.int32), offsets, kept_runs
+    return t.astype(np.int32), counts.astype(np.int32), kept_runs
+
+
+def _radix_buckets(p16: np.ndarray, positions: np.ndarray, readlength: int,
+                   prefix_bases: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Partition window positions by their first bases so identical windows
+    always share a bucket (the reference's seqtag partitioning,
+    generate_seqtag :1233, generalized)."""
+    k = min(prefix_bases, readlength, pack.WORD_BASES)
+    pref = p16[positions] >> np.uint32(2 * (pack.WORD_BASES - k))
+    order = np.argsort(pref, kind="stable")
+    positions = positions[order]
+    pref = pref[order]
+    diff = np.flatnonzero(pref[1:] != pref[:-1]) + 1
+    bounds = np.concatenate([[0], diff, [len(positions)]])
+    return positions, bounds
+
+
+def _chunks(bounds: np.ndarray, budget: int):
+    """Merge adjacent radix buckets into chunks of at most ~budget items."""
+    start = 0
+    while start < len(bounds) - 1:
+        end = start + 1
+        while (end < len(bounds) - 1 and
+               bounds[end + 1] - bounds[start] <= budget):
+            end += 1
+        yield int(bounds[start]), int(bounds[end])
+        start = end
 
 
 # --------------------------------------------------------------------------
 # SE build
 # --------------------------------------------------------------------------
 
-def _radix_buckets(p16: np.ndarray, positions: np.ndarray, readlength: int,
-                   prefix_bases: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Partition window positions by their first ``prefix_bases`` bases so
-    identical windows always share a bucket (the reference's seqtag
-    partitioning, generate_seqtag :1233, generalized).
-
-    Returns (positions sorted by bucket, bucket boundary offsets)."""
-    k = min(prefix_bases, readlength, pack.WORD_BASES)
-    pref = p16[positions] >> np.uint32(2 * (pack.WORD_BASES - k))
-    order = np.argsort(pref, kind="stable")
-    positions = positions[order]
-    pref = pref[order]
-    # bucket boundaries
-    diff = np.flatnonzero(pref[1:] != pref[:-1]) + 1
-    bounds = np.concatenate([[0], diff, [len(positions)]])
-    return positions, bounds
-
 
 def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
                    cfg: BuildConfig, backend: str = "jax") -> RshIndex:
     """Build an SE rsh index for a read-length range."""
-    # SE: fragment length range == read length range (reference:
-    # parse_readlength_range, src/emsar_functions.c:2461-2469)
     fl_min, fl_max = readlength_min, readlength_max
     nfl = fl_max - fl_min + 1
     acc = SignatureAccumulator(tx.n_transcripts, nfl)
 
     p16 = pack.pack16(tx.codes)
     bad = pack.bad_prefix(tx.codes)
+    p16_dev = jnp.asarray(p16) if backend == "jax" else p16
     stranded = cfg.strand.stranded
 
     for readlength in range(readlength_min, readlength_max + 1):
         fl_ind = readlength - fl_min
-        with phase(f"SE readlength {readlength}: windows", cfg.verbose):
+        with phase(f"SE l{readlength}: build", cfg.verbose):
             cand = np.arange(0, tx.borderpos - readlength + 1, dtype=np.int64)
             cand = cand[pack.valid_windows(bad, cand, readlength)]
-        if cand.size == 0:
-            continue
-        # partition by sequence prefix so identical windows share a chunk
-        prefix_bases = 0 if cand.size <= cfg.chunk_positions else 8
-        if prefix_bases:
-            cand, bounds = _radix_buckets(p16, cand, readlength, prefix_bases)
-        else:
-            bounds = np.array([0, cand.size], dtype=np.int64)
-
-        with phase(f"SE readlength {readlength}: sort+scan", cfg.verbose):
-            # merge small buckets into chunks
-            start = 0
-            while start < len(bounds) - 1:
-                end = start + 1
-                while (end < len(bounds) - 1 and
-                       bounds[end + 1] - bounds[start] <= cfg.chunk_positions):
-                    end += 1
-                pos = cand[bounds[start]:bounds[end]]
-                _se_chunk(acc, tx, p16, pos, readlength, fl_ind, stranded,
-                          cfg.max_repeat, backend)
-                start = end
+            if cand.size == 0:
+                continue
+            prefix_bases = 0 if cand.size <= cfg.chunk_positions else 8
+            if prefix_bases:
+                cand, bounds = _radix_buckets(p16, cand, readlength,
+                                              prefix_bases)
+            else:
+                bounds = np.array([0, cand.size], dtype=np.int64)
+            for lo, hi in _chunks(bounds, cfg.chunk_positions):
+                _se_chunk(acc, tx, p16_dev, cand[lo:hi], readlength, fl_ind,
+                          stranded, cfg.max_repeat, backend)
 
     sig_offsets, sig_tids, multi_euma = acc.finalize()
     return RshIndex(names=list(tx.names), readlength=-1,
@@ -193,36 +267,28 @@ def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
                     sig_tids=sig_tids, multi_euma=multi_euma)
 
 
-def _se_chunk(acc: SignatureAccumulator, tx: Transcriptome, p16: np.ndarray,
+def _se_chunk(acc: SignatureAccumulator, tx: Transcriptome, p16_dev,
               pos: np.ndarray, readlength: int, fl_ind: int, stranded: bool,
               max_repeat: int, backend: str) -> None:
-    fw = pack.window_words_np(p16, pos, readlength)
-    if stranded:
-        words = fw
-    else:
-        flip = tx.seqlength - pos - readlength
-        rc = pack.window_words_np(p16, flip, readlength)
-        _, words = pack.lexmin_words_np(fw, rc)
-    tids = tx.transcript_of(pos, readlength)
-    _, aux, run_id = sort_runs(words, tids[:, None].astype(np.int32),
-                               words.shape[1], backend)
-    tids_sorted = aux[:, 0]
+    spos, run_id, _ = se_group(p16_dev, pos.astype(np.int32), tx.seqlength,
+                               readlength, stranded, backend)
+    tids = tx.transcript_of(spos, readlength)
     lengths = run_lengths(run_id)
 
     singles = lengths == 1
     if singles.any():
-        smask = singles[run_id]
-        acc.add_single(tids_sorted[smask], fl_ind)
+        acc.add_single(tids[singles[run_id]], fl_ind)
     multi = (lengths > 1) & (lengths < max_repeat)
     if multi.any():
-        sig_flat, sig_off, _ = _sorted_run_signatures(run_id, tids_sorted, multi)
-        fl = np.full(len(sig_off) - 1, fl_ind, dtype=np.int64)
-        acc.add_multi_runs(sig_flat, sig_off, fl)
+        sig_flat, sig_sizes, _ = _sorted_run_signatures(run_id, tids, multi)
+        acc.add_multi_batch(sig_flat, sig_sizes,
+                            np.full(len(sig_sizes), fl_ind, dtype=np.int32))
 
 
 # --------------------------------------------------------------------------
 # PE build
 # --------------------------------------------------------------------------
+
 
 def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
                    backend: str = "jax") -> RshIndex:
@@ -234,48 +300,36 @@ def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
 
     p16 = pack.pack16(tx.codes)
     bad = pack.bad_prefix(tx.codes)
+    p16_dev = jnp.asarray(p16) if backend == "jax" else p16
     stranded = cfg.strand.stranded
     rl = readlength
 
     with phase("PE: mate1 windows", cfg.verbose):
         fwpos = np.arange(0, tx.borderpos - rl + 1, dtype=np.int64)
         fwpos = fwpos[pack.valid_windows(bad, fwpos, rl)]
-        if stranded:
-            m1pos = fwpos
-        else:
-            m1pos = np.concatenate([fwpos, tx.seqlength - fwpos - rl])
+        m1pos = fwpos if stranded else \
+            np.concatenate([fwpos, tx.seqlength - fwpos - rl])
 
-    with phase("PE: mate1 sort", cfg.verbose):
-        # global sort of mate1 windows into clusters; chunked by prefix
+    with phase("PE: mate1 clustering", cfg.verbose):
         prefix_bases = 0 if m1pos.size <= cfg.chunk_positions else 8
         if prefix_bases:
             m1pos, bounds = _radix_buckets(p16, m1pos, rl, prefix_bases)
         else:
             bounds = np.array([0, m1pos.size], dtype=np.int64)
-
-        sorted_pos_chunks: List[np.ndarray] = []
-        cluster_chunks: List[np.ndarray] = []
+        pos_chunks, cl_chunks = [], []
         next_cluster = 0
-        start = 0
-        while start < len(bounds) - 1:
-            end = start + 1
-            while (end < len(bounds) - 1 and
-                   bounds[end + 1] - bounds[start] <= cfg.chunk_positions):
-                end += 1
-            pos = m1pos[bounds[start]:bounds[end]]
-            words = pack.window_words_np(p16, pos, rl)
-            # positions fit in int32 (the reference also uses 32-bit offsets)
-            _, aux, run_id = sort_runs(words, pos.astype(np.int32)[:, None],
-                                       words.shape[1], backend)
-            sorted_pos_chunks.append(aux[:, 0].astype(np.int64))
-            cluster_chunks.append(run_id.astype(np.int64) + next_cluster)
-            next_cluster += int(run_id[-1]) + 1
-            start = end
-        m1_sorted = np.concatenate(sorted_pos_chunks)
-        m1_cluster = np.concatenate(cluster_chunks)
+        for lo, hi in _chunks(bounds, cfg.chunk_positions):
+            # group by the mate1 window itself (no canonicalization)
+            spos, rid, _ = se_group(p16_dev, m1pos[lo:hi].astype(np.int32),
+                                    tx.seqlength, rl, True, backend)
+            pos_chunks.append(spos)
+            cl_chunks.append(rid.astype(np.int64) + next_cluster)
+            next_cluster += int(rid[-1]) + 1
+        m1_sorted = np.concatenate(pos_chunks)
+        m1_cluster = np.concatenate(cl_chunks)
 
     with phase("PE: mate2 expansion", cfg.verbose):
-        _pe_expand(acc, tx, p16, bad, m1_sorted, m1_cluster, rl,
+        _pe_expand(acc, tx, p16_dev, bad, m1_sorted, m1_cluster, rl,
                    fl_min, fl_max, stranded, cfg, backend)
 
     sig_offsets, sig_tids, multi_euma = acc.finalize()
@@ -285,64 +339,107 @@ def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
                     sig_tids=sig_tids, multi_euma=multi_euma)
 
 
-def _pe_expand(acc, tx: Transcriptome, p16, bad, m1pos, m1cluster, rl,
+def _pe_expand(acc, tx: Transcriptome, p16_dev, bad, m1pos, m1cluster, rl,
                fl_min, fl_max, stranded, cfg: BuildConfig, backend: str):
-    """Expand each mate1 cluster over fragment offsets d and group candidate
-    (mate1 sequence, mate2 sequence) pairs."""
     nfl = fl_max - fl_min + 1
-    d_lo = fl_min - rl  # >= 0 by clamping
-    ds = np.arange(d_lo, fl_max - rl + 1, dtype=np.int64)
-
-    # block boundaries aligned to cluster boundaries
+    d0 = fl_min - rl  # >= 0 by clamping
     n = m1pos.shape[0]
     budget = max(cfg.pe_chunk_candidates // max(nfl, 1), 1)
     cluster_starts = np.concatenate(
         [[0], np.flatnonzero(m1cluster[1:] != m1cluster[:-1]) + 1, [n]])
 
-    W = pack.n_words(rl)
+    if backend == "jax":
+        bad_dev = jnp.asarray(bad)
+        cuml_dev = jnp.asarray(tx.cuml)
+
     bstart = 0
     while bstart < len(cluster_starts) - 1:
         bend = bstart + 1
         while (bend < len(cluster_starts) - 1 and
                cluster_starts[bend + 1] - cluster_starts[bstart] <= budget):
             bend += 1
-        lo, hi = cluster_starts[bstart], cluster_starts[bend]
-        _pe_block(acc, tx, p16, bad, m1pos[lo:hi], m1cluster[lo:hi], ds, rl,
-                  fl_min, stranded, cfg.max_repeat, W, backend)
+        lo, hi = int(cluster_starts[bstart]), int(cluster_starts[bend])
+        if backend == "jax":
+            _pe_block_dev(acc, tx, p16_dev, bad_dev, cuml_dev,
+                          m1pos[lo:hi], m1cluster[lo:hi], d0, nfl, rl,
+                          fl_min, stranded, cfg.max_repeat)
+        else:
+            _pe_block_np(acc, tx, np.asarray(p16_dev), bad,
+                         m1pos[lo:hi], m1cluster[lo:hi], d0, nfl, rl,
+                         fl_min, stranded, cfg.max_repeat)
         bstart = bend
 
 
-def _pe_block(acc, tx: Transcriptome, p16, bad, pos, cluster, ds, rl,
-              fl_min, stranded, max_repeat, W, backend):
-    """Process one block of whole mate1 clusters."""
+def _accumulate_pe_runs(acc, d_sorted, tid_sorted, run_id, rl, fl_min,
+                        max_repeat):
+    """Shared host-side accumulation of sorted PE candidate runs."""
+    lengths = run_lengths(run_id)
+    first_mask = np.concatenate([[True], run_id[1:] != run_id[:-1]])
+    run_first = np.zeros(len(lengths), dtype=np.int64)
+    run_first[run_id[first_mask]] = np.flatnonzero(first_mask)
+    fl_of_run = d_sorted[run_first] + rl - fl_min
+
+    singles = lengths == 1
+    if singles.any():
+        smask = singles[run_id]
+        acc.add_single(tid_sorted[smask], fl_of_run[run_id[smask]])
+    d_min = np.full(len(lengths), np.iinfo(np.int64).max)
+    d_max = np.full(len(lengths), np.iinfo(np.int64).min)
+    np.minimum.at(d_min, run_id, d_sorted)
+    np.maximum.at(d_max, run_id, d_sorted)
+    multi = (lengths > 1) & (lengths < max_repeat) & (d_min == d_max)
+    if multi.any():
+        sig_flat, sig_sizes, kept = _sorted_run_signatures(run_id, tid_sorted,
+                                                           multi)
+        acc.add_multi_batch(sig_flat, sig_sizes, fl_of_run[kept])
+
+
+def _pe_block_dev(acc, tx, p16_dev, bad_dev, cuml_dev, pos, cluster, d0, nfl,
+                  rl, fl_min, stranded, max_repeat):
     B = pos.shape[0]
-    nd = ds.shape[0]
-    # candidate mate2 positions [B, nd].  The reference requires
-    # p + d < seqlength and a canonical mate2 window; windows starting in
-    # (seqlength - rl, seqlength) overlap the final '$' and are already
-    # non-canonical, so the effective bound is p + d <= seqlength - rl.
+    Bp = _next_pow2(B)
+    ppad = np.zeros(Bp, dtype=np.int32)
+    ppad[:B] = pos
+    cpad = np.zeros(Bp, dtype=np.int64)
+    cpad[:B] = cluster
+    vpad = np.zeros(Bp, dtype=bool)
+    vpad[:B] = True
+    d_s, tid_s, run_id, n_valid = _pe_block_jax(
+        p16_dev, bad_dev, cuml_dev, jnp.asarray(ppad), jnp.asarray(cpad),
+        jnp.asarray(vpad), jnp.asarray(_MULT), d0, tx.borderpos,
+        tx.seqlength, n_words=pack.n_words(rl), readlength=rl,
+        stranded=stranded, n_d=nfl)
+    nv = int(n_valid)
+    if nv == 0:
+        return
+    d_sorted = np.asarray(d_s)[:nv].astype(np.int64)
+    tid_sorted = np.asarray(tid_s)[:nv]
+    run_id = np.asarray(run_id)[:nv].astype(np.int64)
+    _accumulate_pe_runs(acc, d_sorted, tid_sorted, run_id, rl, fl_min,
+                        max_repeat)
+
+
+def _pe_block_np(acc, tx: Transcriptome, p16, bad, pos, cluster, d0, nfl,
+                 rl, fl_min, stranded, max_repeat):
+    """NumPy differential path for one block of whole mate1 clusters."""
+    B = pos.shape[0]
+    ds = d0 + np.arange(nfl, dtype=np.int64)
     cand = pos[:, None] + ds[None, :]
     in_range = cand <= tx.seqlength - rl
     cand_c = np.minimum(cand, tx.seqlength - rl)
-    # mate2 window must be all-ACGT ('@'/'$'-crossing windows are caught too)
     valid = in_range & (pack.valid_windows(bad, cand_c.ravel(), rl)
-                        .reshape(B, nd))
-    # same transcript in the same half (reference: sf_i equality + the
-    # border-crossing guard, src/emsar_functions.c:2856)
+                        .reshape(B, nfl))
     tid1 = tx.transcript_of(pos, rl)
-    tid2 = tx.transcript_of(cand_c.ravel(), rl).reshape(B, nd)
+    tid2 = tx.transcript_of(cand_c.ravel(), rl).reshape(B, nfl)
     same_half = ~((pos[:, None] < tx.borderpos) & (cand_c > tx.borderpos))
     valid &= (tid2 == tid1[:, None]) & same_half
 
     if not stranded:
-        # canonical pair orientation (reference :2863-2869): compare
-        # (m1 at p, m2 at p+d) vs the flipped pair (rc(m2) at flip(p+d),
-        # rc(m1) at flip(p)); ties keep the fw-half version.
         flat = cand_c.ravel()
-        keep = np.zeros(B * nd, dtype=bool)
+        keep = np.zeros(B * nfl, dtype=bool)
         vmask = valid.ravel()
         if vmask.any():
-            p_rep = np.repeat(pos, nd)[vmask]
+            p_rep = np.repeat(pos, nfl)[vmask]
             c_sel = flat[vmask]
             k_m1 = pack.window_words_np(p16, p_rep, rl)
             k_m1f = pack.window_words_np(p16, tx.seqlength - c_sel - rl, rl)
@@ -352,49 +449,28 @@ def _pe_block(acc, tx: Transcriptome, p16, bad, pos, cluster, ds, rl,
                 k_m2 = pack.window_words_np(p16, c_sel[tie], rl)
                 k_m2f = pack.window_words_np(
                     p16, tx.seqlength - p_rep[tie] - rl, rl)
-                cmp2 = pack.lexcmp_words_np(k_m2, k_m2f)
                 cmp = cmp.copy()
-                cmp[tie] = cmp2
+                cmp[tie] = pack.lexcmp_words_np(k_m2, k_m2f)
             fwhalf = p_rep < tx.borderpos
-            keep_v = np.where(fwhalf, cmp <= 0, cmp < 0)
-            keep[np.flatnonzero(vmask)] = keep_v
-        valid = keep.reshape(B, nd)
+            keep[np.flatnonzero(vmask)] = np.where(fwhalf, cmp <= 0, cmp < 0)
+        valid = keep.reshape(B, nfl)
 
     vmask = valid.ravel()
     if not vmask.any():
         return
     m2sel = cand_c.ravel()[vmask]
-    cl_sel = np.repeat(cluster, nd)[vmask].astype(np.int64)
+    cl_sel = np.repeat(cluster, nfl)[vmask].astype(np.int64)
     d_sel = np.repeat(ds[None, :], B, axis=0).ravel()[vmask]
-    tid_sel = np.repeat(tid1, nd)[vmask]
+    tid_sel = np.repeat(tid1, nfl)[vmask]
 
-    # sort by (cluster, mate2 words); carry (d, tid)
     m2w = pack.window_words_np(p16, m2sel, rl)
-    cl_lo = cl_sel - cl_sel.min()
-    words = np.concatenate([cl_lo.astype(np.uint32)[:, None], m2w], axis=1)
-    aux = np.stack([d_sel.astype(np.int32), tid_sel.astype(np.int32)], axis=1)
-    _, saux, run_id = sort_runs(words, aux, words.shape[1], backend)
-    d_sorted = saux[:, 0].astype(np.int64)
-    tid_sorted = saux[:, 1]
-
-    lengths = run_lengths(run_id)
-    # fragment length index per run (first element's d)
-    run_first = np.zeros(len(lengths), dtype=np.int64)
-    first_mask = np.concatenate([[True], run_id[1:] != run_id[:-1]])
-    run_first[run_id[first_mask]] = np.flatnonzero(first_mask)
-    fl_of_run = d_sorted[run_first] + rl - fl_min
-
-    singles = lengths == 1
-    if singles.any():
-        smask = singles[run_id]
-        acc.add_single(tid_sorted[smask], fl_of_run[run_id[smask]])
-    # multi-d runs dropped entirely (reference multi_d filter :1926)
-    d_min = np.full(len(lengths), np.iinfo(np.int64).max)
-    d_max = np.full(len(lengths), np.iinfo(np.int64).min)
-    np.minimum.at(d_min, run_id, d_sorted)
-    np.maximum.at(d_max, run_id, d_sorted)
-    multi = (lengths > 1) & (lengths < max_repeat) & (d_min == d_max)
-    if multi.any():
-        sig_flat, sig_off, kept_runs = _sorted_run_signatures(
-            run_id, tid_sorted, multi)
-        acc.add_multi_runs(sig_flat, sig_off, fl_of_run[kept_runs])
+    cl_lo = (cl_sel - cl_sel.min()).astype(np.uint32)
+    words = np.concatenate([cl_lo[:, None], m2w], axis=1)
+    order = np.lexsort(tuple(words[:, w]
+                             for w in range(words.shape[1] - 1, -1, -1)))
+    sw = words[order]
+    diff = np.any(sw[1:] != sw[:-1], axis=1)
+    run_id = np.concatenate([np.zeros(1, np.int64),
+                             np.cumsum(diff.astype(np.int64))])
+    _accumulate_pe_runs(acc, d_sel[order], tid_sel[order], run_id, rl,
+                        fl_min, max_repeat)

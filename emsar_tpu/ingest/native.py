@@ -1,0 +1,159 @@
+"""ctypes binding for the C++ ingest engine (csrc/ingest.cc).
+
+Compiled on first use with g++ (cached next to the package); falls back to
+the pure-Python path when no compiler / zlib is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from ..io.rsh import RshIndex
+from .collapse import SampleCounts
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_FAILED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc", "ingest.cc")
+_SO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
+_SO = os.path.join(_SO_DIR, "libemsar_ingest.so")
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    os.makedirs(_SO_DIR, exist_ok=True)
+    if (os.path.exists(_SO) and
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return True
+    try:
+        subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                        _SRC, "-o", _SO + ".tmp", "-lz"],
+                       check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, "stderr", b"")
+        print(f"[emsar] native ingest build failed, using Python path: "
+              f"{msg[:500] if msg else e}", file=sys.stderr)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_FAILED
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        if os.environ.get("EMSAR_TPU_NO_NATIVE"):
+            _LIB_FAILED = True
+            return None
+        if not _build():
+            _LIB_FAILED = True
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.emsar_make_name_table.restype = ctypes.c_void_p
+        lib.emsar_make_name_table.argtypes = [ctypes.c_char_p, _i64p,
+                                              ctypes.c_int64]
+        lib.emsar_free_name_table.argtypes = [ctypes.c_void_p]
+        lib.emsar_make_sig_table.restype = ctypes.c_void_p
+        lib.emsar_make_sig_table.argtypes = [_i64p, _i32p, ctypes.c_int64]
+        lib.emsar_free_sig_table.argtypes = [ctypes.c_void_p]
+        lib.emsar_ingest_last_error.restype = ctypes.c_char_p
+        lib.emsar_ingest_bowtie.restype = ctypes.c_int
+        lib.emsar_ingest_bowtie.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.emsar_ingest_bam.restype = ctypes.c_int
+        lib.emsar_ingest_bam.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeCollapser:
+    """Holds the native name + signature tables for an index."""
+
+    def __init__(self, index: RshIndex):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native ingest unavailable")
+        self._lib = lib
+        self.index = index
+        blob = b"".join(n.encode("latin-1") + b"" for n in index.names)
+        # offsets into the concatenated names
+        lens = np.fromiter((len(n.encode("latin-1")) for n in index.names),
+                           dtype=np.int64, count=len(index.names))
+        offs = np.zeros(len(index.names) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        self._name_blob = blob  # keep alive
+        self._name_table = lib.emsar_make_name_table(blob, offs,
+                                                     len(index.names))
+        self._sig_offsets = np.ascontiguousarray(index.sig_offsets,
+                                                 dtype=np.int64)
+        self._sig_tids = np.ascontiguousarray(index.sig_tids, dtype=np.int32)
+        self._sig_table = lib.emsar_make_sig_table(
+            self._sig_offsets, self._sig_tids, index.n_multi)
+        self._has_single = np.ascontiguousarray(
+            index.has_single.astype(np.uint8))
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        if lib is not None:
+            if getattr(self, "_name_table", None):
+                lib.emsar_free_name_table(self._name_table)
+            if getattr(self, "_sig_table", None):
+                lib.emsar_free_sig_table(self._sig_table)
+
+    def collapse_file(self, path: str, fmt: str, pe: bool, strand_code: int,
+                      max_repeat: int, min_fraglength: int,
+                      max_fraglength: int,
+                      readlength_holder: Optional[List[int]] = None
+                      ) -> SampleCounts:
+        idx = self.index
+        hist_size = max(max_fraglength, idx.fraglen_max) + 1
+        single = np.zeros(idx.n_transcripts, dtype=np.int64)
+        multi = np.zeros(idx.n_multi, dtype=np.int64)
+        hist = np.zeros(hist_size, dtype=np.int64)
+        total = ctypes.c_int64(0)
+        rl = ctypes.c_int64(readlength_holder[0] if readlength_holder else -1)
+
+        if fmt == "bowtie":
+            rc = self._lib.emsar_ingest_bowtie(
+                path.encode(), int(pe), strand_code, max_repeat,
+                min_fraglength, max_fraglength, self._name_table,
+                self._sig_table, self._has_single, single, multi, hist,
+                hist_size, ctypes.byref(total), ctypes.byref(rl))
+        else:
+            rc = self._lib.emsar_ingest_bam(
+                path.encode(), int(fmt == "sam"), int(pe), strand_code,
+                max_repeat, min_fraglength, max_fraglength, self._name_table,
+                self._sig_table, self._has_single, single, multi, hist,
+                hist_size, ctypes.byref(total), ctypes.byref(rl))
+        if rc != 0:
+            err = self._lib.emsar_ingest_last_error().decode("latin-1")
+            raise ValueError(f"native ingest failed ({rc}): {err}")
+        if readlength_holder is not None:
+            readlength_holder[0] = int(rl.value)
+        return SampleCounts(single_counts=single, multi_counts=multi,
+                            fraglength_counts=hist,
+                            total_read_count=int(total.value))

@@ -53,6 +53,35 @@ def fragments_to_reads(tx: Transcriptome, positions: np.ndarray,
     return names, r1, r2
 
 
+def gene_family_transcriptome(rng: np.random.Generator, n_genes: int,
+                              min_isoforms: int = 2, max_isoforms: int = 10,
+                              n_exons: int = 8, min_exon: int = 80,
+                              max_exon: int = 400
+                              ) -> Tuple[List[str], List[bytes], List[str]]:
+    """Exon/isoform-structured transcriptome: each gene has a pool of exons;
+    isoforms are ordered exon subsets.  Produces the heavy sequence sharing
+    regime that drives large sequence-sharing modules (the reference MLE's
+    hard case).  Returns (names, seqs, gene_of_transcript)."""
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    names: List[str] = []
+    seqs: List[bytes] = []
+    genes: List[str] = []
+    for g in range(n_genes):
+        exon_lens = rng.integers(min_exon, max_exon + 1, size=n_exons)
+        exons = [bases[rng.integers(0, 4, size=L)].tobytes()
+                 for L in exon_lens]
+        k = int(rng.integers(min_isoforms, max_isoforms + 1))
+        for i in range(k):
+            keep = rng.random(n_exons) < rng.uniform(0.4, 0.9)
+            if not keep.any():
+                keep[int(rng.integers(0, n_exons))] = True
+            seq = b"".join(e for e, m in zip(exons, keep) if m)
+            names.append(f"G{g:05d}T{i}")
+            seqs.append(seq)
+            genes.append(f"G{g:05d}")
+    return names, seqs, genes
+
+
 def write_reads_fasta(path: str, names: List[str], seqs: List[bytes],
                       mate: int = 0) -> None:
     suffix = f"/{mate}" if mate else ""
