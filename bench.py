@@ -151,6 +151,11 @@ def run_ours(rsh, aln, platform):
 
 
 def tpm_maxdiff(ref_fpkm, our_fpkm):
+    """(transcript-level maxdiff, gene-level maxdiff).
+
+    Transcript-level TPM is non-identifiable within collinear isoform
+    groups (the reference's own runs differ there — it seeds with
+    time()); gene-level TPM is the well-identified quantity."""
     def load(p):
         out = {}
         with open(p) as fh:
@@ -160,7 +165,14 @@ def tpm_maxdiff(ref_fpkm, our_fpkm):
                 out[f[0]] = float(f[6])
         return out
     a, b = load(ref_fpkm), load(our_fpkm)
-    return max(abs(a[k] - b[k]) for k in a)
+    tdiff = max(abs(a[k] - b[k]) for k in a)
+    ga, gb = {}, {}
+    for k in a:
+        g = k.split("T")[0]
+        ga[g] = ga.get(g, 0.0) + a[k]
+        gb[g] = gb.get(g, 0.0) + b[k]
+    gdiff = max(abs(ga[g] - gb[g]) for g in ga)
+    return tdiff, gdiff
 
 
 def main():
@@ -176,10 +188,10 @@ def main():
     fasta, rsh, aln = ensure_fixture()
     t_ref = time_reference(rsh, aln)
     t_ours, outdir = run_ours(rsh, aln, platform)
-    diff = tpm_maxdiff(os.path.join(CACHE, "refout", "s.0.fpkm"),
-                       os.path.join(outdir, "s.0.fpkm"))
-    log(f"reference: {t_ref:.2f}s  ours: {t_ours:.2f}s  "
-        f"TPM maxdiff: {diff:.4f}")
+    tdiff, gdiff = tpm_maxdiff(os.path.join(CACHE, "refout", "s.0.fpkm"),
+                               os.path.join(outdir, "s.0.fpkm"))
+    log(f"reference: {t_ref:.2f}s  ours: {t_ours:.2f}s  TPM maxdiff: "
+        f"transcript {tdiff:.2f} (non-identifiable axis), gene {gdiff:.4f}")
     speedup = t_ref / t_ours
     print(json.dumps({"metric": "e2e_quantify_speedup_vs_ref_C",
                       "value": round(speedup, 3), "unit": "x",

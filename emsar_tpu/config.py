@@ -97,5 +97,5 @@ class QuantConfig:
     verbose: int = 1
     # TPU-specific knobs
     solver_dtype: str = "float64"  # 'float32' | 'float64'
-    solver_block_iters: int = 32  # EM iterations fused per convergence check
+    solver_block_iters: int = 8  # SQUAREM cycles fused per convergence check
     rng_seed: Optional[int] = None

@@ -121,12 +121,32 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         num = seg_t(edge_mult[None, :] * ratio[:, edge_cid])  # [S, T]
         return th * num * inv_denom[None, :]
 
-    theta = jax.lax.fori_loop(0, block_iters, lambda _, th: em_iter(th), theta)
-    s = seg_c(edge_mult[None, :] * theta[:, edge_tid])
-    lam = eumaps[None, :] * s
-    safe = jnp.where(lam > 0, lam, 1.0)
-    ll = jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
-                           jnp.where(reads > 0, -1e30, 0.0)))
+    def ll_per_sample(th):
+        s = seg_c(edge_mult[None, :] * th[:, edge_tid])
+        lam = eumaps[None, :] * s
+        safe = jnp.where(lam > 0, lam, 1.0)
+        return jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
+                                 jnp.where(reads > 0, -1e30, 0.0)), axis=1)
+
+    def squarem_cycle(th):
+        # per-sample SQUAREM extrapolation (see model/solver.py); the
+        # steplength and the likelihood safeguard are per dp-local sample
+        t1 = em_iter(th)
+        t2 = em_iter(t1)
+        r = t1 - th
+        v = t2 - t1 - r
+        rn = jnp.sqrt(jnp.sum(r * r, axis=1, keepdims=True))
+        vn = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+        alpha = jnp.where(vn > 0, -rn / jnp.where(vn > 0, vn, 1.0), -1.0)
+        alpha = jnp.minimum(alpha, -1.0)
+        cand = jnp.maximum(th - 2.0 * alpha * r + (alpha * alpha) * v, 0.0)
+        cand = em_iter(cand)
+        better = (ll_per_sample(cand) >= ll_per_sample(t2))[:, None]
+        return jnp.where(better, cand, t2)
+
+    theta = jax.lax.fori_loop(0, block_iters,
+                              lambda _, th: squarem_cycle(th), theta)
+    ll = jnp.sum(ll_per_sample(theta))
     ll = jax.lax.psum(ll, "dp")  # dp shards hold disjoint samples
     return theta, ll
 
