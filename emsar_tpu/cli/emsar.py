@@ -21,7 +21,8 @@ from ..ingest.collapse import ReadCollapser, group_alignments
 from ..io import bowtie
 from ..io.bam import read_bam_records
 from ..io.fasta import read_fasta
-from ..io.outputs import (write_fpkm, write_fraglength_dist, write_segments)
+from ..io.outputs import (write_fpkm, write_fraglength_dist, write_posbias,
+                          write_segments)
 from ..io.rsh import RshIndex
 from ..io.sam import (probe_readlength_range_sam_bam, probe_readlength_sam_bam,
                       read_sam_records, stream_alignments_pe,
@@ -222,9 +223,19 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
     name_to_tid = {n: i for i, n in enumerate(index.names)}
     pe_readlength = [index.readlength if index.readlength > 0 else -1]
 
+    posbias = None
+    if cfg.posmodel == 1:
+        # positional-bias accumulation needs transcript lengths, so it
+        # requires the -x (fasta) path, as in the reference
+        if not fastafile or rshfile:
+            die("error: positional bias model (-m 1) requires -x fastafile "
+                "(not -I).")
+        from ..ingest.collapse import PosBias
+        posbias = PosBias(tx.transcript_lengths(), cfg.perpos_freq_len)
+
     native_collapser = None
     from ..ingest import native as native_mod
-    if native_mod.available():
+    if posbias is None and native_mod.available():
         with phase("building native ingest tables", cfg.verbose):
             native_collapser = native_mod.NativeCollapser(index)
 
@@ -238,7 +249,11 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                     pe_readlength if cfg.pe else None)
             else:
                 counts = _collapse_python(index, name_to_tid, cfg, alnfile,
-                                          pe_readlength)
+                                          pe_readlength, posbias)
+
+        if posbias is not None and i == 0:
+            write_posbias(os.path.join(outdir, outprefix + ".posbias"),
+                          posbias)
 
         if cfg.print_rsh:
             with phase("writing rsh file", cfg.verbose):
@@ -268,10 +283,10 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
 
 
 def _collapse_python(index: RshIndex, name_to_tid, cfg: QuantConfig,
-                     alnfile: str, pe_readlength):
+                     alnfile: str, pe_readlength, posbias=None):
     collapser = ReadCollapser(index, cfg.min_fraglength,
                               cfg.max_fraglength, cfg.max_repeat,
-                              cfg.pe)
+                              cfg.pe, posbias=posbias)
     if cfg.aln_format == "bowtie":
         src = alnfile if alnfile else sys.stdin
         if cfg.pe:

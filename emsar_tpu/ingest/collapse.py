@@ -40,16 +40,52 @@ class SampleCounts:
         return np.concatenate([self.single_counts, self.multi_counts])
 
 
+class PosBias:
+    """Positional fragment-frequency accumulator (reference C22 surface:
+    update_ReadCounts -m 1 blocks, src/emsar_functions.c:852-934 +
+    normalize_perpos_freq :2544-2556).  Requires transcript lengths, so it
+    is only available on the -x (fasta) path, like the reference."""
+
+    def __init__(self, transcript_lengths: np.ndarray, freq_len: int):
+        self.tlen = transcript_lengths
+        self.freq_len = freq_len
+        self.freq_5 = np.zeros(freq_len)
+        self.freq_3 = np.zeros(freq_len)
+        self.unavail_5 = np.zeros(freq_len)
+        self.unavail_3 = np.zeros(freq_len)
+
+    def add(self, tid: int, pos: int, fraglen: int, weight: float) -> None:
+        tlen = int(self.tlen[tid])
+        if pos < self.freq_len:
+            self.freq_5[pos] += weight
+        d3 = tlen - (pos + fraglen - 1)
+        if d3 < self.freq_len:
+            self.freq_3[max(d3, -self.freq_len)] += weight
+        if tlen < self.freq_len:
+            self.unavail_5[tlen:] += weight
+            self.unavail_3[tlen:] += weight
+
+    def normalized(self):
+        s5 = self.freq_5.sum()
+        s3 = self.freq_3.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            n5 = self.freq_5 / (s5 - self.unavail_5)
+            n3 = self.freq_3 / (s3 - self.unavail_3)
+        return n5, n3
+
+
 class ReadCollapser:
     """Streaming collapser: feed alignment groups, get SampleCounts."""
 
     def __init__(self, index: RshIndex, min_fraglength: int,
-                 max_fraglength: int, max_repeat: int, pe: bool):
+                 max_fraglength: int, max_repeat: int, pe: bool,
+                 posbias: Optional[PosBias] = None):
         self.index = index
         self.min_fraglength = min_fraglength
         self.max_fraglength = max_fraglength
         self.max_repeat = max_repeat
         self.pe = pe
+        self.posbias = posbias
         self._has_single = index.has_single
         self._lookup = index.sig_lookup()
         self.single_counts = np.zeros(index.n_transcripts, dtype=np.int64)
@@ -77,9 +113,14 @@ class ReadCollapser:
             return
         if n == 1:
             tid = alignments[0][0]
+            if self.posbias is not None:
+                self.posbias.add(tid, alignments[0][3], alignments[0][2], 1.0)
             if self._has_single[tid]:
                 self.single_counts[tid] += 1
         else:
+            if self.posbias is not None:
+                for a in alignments:
+                    self.posbias.add(a[0], a[3], a[2], 1.0 / n)
             tids = np.sort(np.fromiter((a[0] for a in alignments),
                                        dtype=np.int32, count=n))
             row = self._lookup.get(tids.tobytes())

@@ -67,6 +67,25 @@ def write_fraglength_dist(path: str, fraglen_min: int, n_fraglen: int,
             fh.write(f"{fl}\t{cnt}\t{_c_g(float(wf[i]))}\n")
 
 
+def write_posbias(path: str, posbias) -> None:
+    """.posbias: per relative position, 5'/3' fragment counts, unavailable
+    counts and normalized frequencies (reference print_posbias,
+    src/emsar_functions.c:2580-2597).  Note: the reference writes this file
+    before reading any alignments (src/emsar_main.c:364-372), so its output
+    is all zeros in v2.0.1; we write it after the first sample is read so
+    the surface is actually usable."""
+    n5, n3 = posbias.normalized()
+    with open(path, "w") as fh:
+        fh.write("relative_position\t5-frag_count\t5-avail_count\t"
+                 "5-norm_frag_count\t3-frag_count\t3-avail_count\t"
+                 "3-norm_frag_count\n")
+        for i in range(posbias.freq_len):
+            fh.write(f"{i}\t{posbias.freq_5[i]:.6f}\t"
+                     f"{posbias.unavail_5[i]:.6f}\t{n5[i]:.6f}\t"
+                     f"{posbias.freq_3[i]:.6f}\t{posbias.unavail_3[i]:.6f}\t"
+                     f"{n3[i]:.6f}\n")
+
+
 def write_segments(path: str, names: List[str], ct_offsets: np.ndarray,
                    ct_tids: np.ndarray, cs: np.ndarray, adj_euma: np.ndarray,
                    read_count: np.ndarray, fpkm_mean: np.ndarray,
