@@ -30,9 +30,9 @@ CACHE = os.path.join(REPO, "bench_cache")
 REF_EMSAR = "/root/reference/src/emsar"
 REF_BUILD = "/root/reference/src/emsar-build"
 
-N_GENES = 700
+N_GENES = 2000
 READLEN = 50
-N_READS = 500_000
+N_READS = 1_000_000
 SEED = 1234
 
 

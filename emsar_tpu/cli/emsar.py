@@ -207,14 +207,20 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                            max_repeat=cfg.max_repeat,
                            header_fmt=cfg.header_fmt, binsize=cfg.binsize,
                            taglen=cfg.taglen, verbose=cfg.verbose)
+        sfa_path = os.path.join(outdir, outprefix + ".sfa") \
+            if cfg.print_sfa else None
         with phase("building rsh index", cfg.verbose):
             if cfg.pe:
-                index = build_pe_index(tx, rl_lo, bcfg)
+                index = build_pe_index(tx, rl_lo, bcfg, sfa_path=sfa_path)
             else:
-                index = build_se_index(tx, rl_lo, rl_hi, bcfg)
+                index = build_se_index(tx, rl_lo, rl_hi, bcfg,
+                                       sfa_path=sfa_path)
     else:
         with phase("reading rsh file", cfg.verbose):
-            index = RshIndex.load(rshfile)
+            try:
+                index = RshIndex.load(rshfile)
+            except OSError:
+                die("can't open input rsh file.")
         # -I overrides the fragment-length filter with the header's values
         # (reference parse_rsh_headerline :1406-1430)
         cfg.min_fraglength = index.min_fraglength

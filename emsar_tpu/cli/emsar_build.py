@@ -92,15 +92,17 @@ def main(argv=None) -> int:
     with phase("reading fasta file", cfg.verbose):
         tx = read_fasta(fastafile, cfg.header_fmt)
 
+    sfa_path = os.path.join(outdir, outprefix + ".sfa") if cfg.print_sfa \
+        else None
     if cfg.pe:
-        idx = build_pe_index(tx, int(readlength_str), cfg)
+        idx = build_pe_index(tx, int(readlength_str), cfg, sfa_path=sfa_path)
     else:
         if "-" in readlength_str:
             lo_s, hi_s = readlength_str.split("-", 1)
             lo, hi = int(lo_s), int(hi_s)
         else:
             lo = hi = int(readlength_str)
-        idx = build_se_index(tx, lo, hi, cfg)
+        idx = build_se_index(tx, lo, hi, cfg, sfa_path=sfa_path)
 
     rsh_path = os.path.join(outdir, outprefix + ".rsh")
     with phase("writing rsh file", cfg.verbose):

@@ -231,8 +231,18 @@ def _chunks(bounds: np.ndarray, budget: int):
 # --------------------------------------------------------------------------
 
 
+def _write_sfa(path: str, positions: np.ndarray) -> None:
+    """Debug dump of the grouped window positions (reference print_sfa,
+    src/emsar_functions.c:1277-1295, format "i\\tpos").  Ordering is our
+    group-sorted order, not the reference's per-tag strncmp order."""
+    with open(path, "w", buffering=1 << 20) as fh:
+        for i, p in enumerate(positions):
+            fh.write(f"{i}\t{p}\n")
+
+
 def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
-                   cfg: BuildConfig, backend: str = "jax") -> RshIndex:
+                   cfg: BuildConfig, backend: str = "jax",
+                   sfa_path: Optional[str] = None) -> RshIndex:
     """Build an SE rsh index for a read-length range."""
     fl_min, fl_max = readlength_min, readlength_max
     nfl = fl_max - fl_min + 1
@@ -256,9 +266,16 @@ def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
                                               prefix_bases)
             else:
                 bounds = np.array([0, cand.size], dtype=np.int64)
+            sfa_chunks = [] if sfa_path else None
             for lo, hi in _chunks(bounds, cfg.chunk_positions):
-                _se_chunk(acc, tx, p16_dev, cand[lo:hi], readlength, fl_ind,
-                          stranded, cfg.max_repeat, backend)
+                spos = _se_chunk(acc, tx, p16_dev, cand[lo:hi], readlength,
+                                 fl_ind, stranded, cfg.max_repeat, backend)
+                if sfa_chunks is not None:
+                    sfa_chunks.append(spos)
+            if sfa_chunks is not None:
+                # the reference overwrites the .sfa per pass; last wins
+                _write_sfa(sfa_path, np.concatenate(sfa_chunks)
+                           if sfa_chunks else np.zeros(0, np.int64))
 
     sig_offsets, sig_tids, multi_euma = acc.finalize()
     return RshIndex(names=list(tx.names), readlength=-1,
@@ -283,6 +300,7 @@ def _se_chunk(acc: SignatureAccumulator, tx: Transcriptome, p16_dev,
         sig_flat, sig_sizes, _ = _sorted_run_signatures(run_id, tids, multi)
         acc.add_multi_batch(sig_flat, sig_sizes,
                             np.full(len(sig_sizes), fl_ind, dtype=np.int32))
+    return spos
 
 
 # --------------------------------------------------------------------------
@@ -291,7 +309,8 @@ def _se_chunk(acc: SignatureAccumulator, tx: Transcriptome, p16_dev,
 
 
 def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
-                   backend: str = "jax") -> RshIndex:
+                   backend: str = "jax",
+                   sfa_path: Optional[str] = None) -> RshIndex:
     """Build a PE rsh index for one read length and a fragment-length range."""
     fl_min = max(cfg.min_fraglength, readlength)
     fl_max = max(cfg.max_fraglength, fl_min)
@@ -327,6 +346,8 @@ def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
             next_cluster += int(rid[-1]) + 1
         m1_sorted = np.concatenate(pos_chunks)
         m1_cluster = np.concatenate(cl_chunks)
+        if sfa_path:
+            _write_sfa(sfa_path, m1_sorted)
 
     with phase("PE: mate2 expansion", cfg.verbose):
         _pe_expand(acc, tx, p16_dev, bad, m1_sorted, m1_cluster, rl,

@@ -118,13 +118,29 @@ def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
                                   num_segments=n_transcripts)
         return theta * num * inv_denom
 
-    def loglik(theta):
-        s = jax.ops.segment_sum(edge_mult * theta[edge_tid], edge_cid,
-                                num_segments=n_segments)
+    def intensities(theta):
+        return jax.ops.segment_sum(edge_mult * theta[edge_tid], edge_cid,
+                                   num_segments=n_segments)
+
+    def loglik_of(s):
         lam = eumaps * s
         safe = jnp.where(lam > 0, lam, 1.0)
         return jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
                                  jnp.where(reads > 0, -1e30, 0.0)))
+
+    def loglik(theta):
+        return loglik_of(intensities(theta))
+
+    def gain_of(s_old, s_new):
+        """logL(s_new) - logL(s_old) computed termwise from the intensity
+        deltas — resolves tiny gains even in float32, where differencing
+        two O(1e6) log-likelihoods cannot."""
+        both = (s_old > 0) & (s_new > 0)
+        safe_old = jnp.where(both, s_old, 1.0)
+        ratio = jnp.log1p(jnp.where(both, (s_new - s_old) / safe_old, 0.0))
+        flipped = ((s_old > 0) != (s_new > 0)) & (reads > 0)
+        term = jnp.where(both, reads * ratio, jnp.where(flipped, 1e30, 0.0))
+        return jnp.sum(term - eumaps * (s_new - s_old))
 
     def squarem_cycle(theta):
         t1 = em_iter(theta)
@@ -138,24 +154,24 @@ def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
         alpha = jnp.minimum(alpha, -1.0)  # never shorter than a plain step
         cand = jnp.maximum(theta - 2.0 * alpha * r + (alpha * alpha) * v, 0.0)
         cand = em_iter(cand)  # stabilization step
-        better = loglik(cand) >= loglik(t2)
+        better = gain_of(intensities(t2), intensities(cand)) >= 0
         return jnp.where(better, cand, t2)
 
     def block(state):
-        theta, ll, it, _ = state
+        theta, s_prev, it, _ = state
         theta = jax.lax.fori_loop(0, block_iters,
                                   lambda _, th: squarem_cycle(th), theta)
-        ll_new = loglik(theta)
-        return theta, ll_new, it + 1, ll_new - ll
+        s_new = intensities(theta)
+        return theta, s_new, it + 1, gain_of(s_prev, s_new)
 
     def cond(state):
         _, _, it, gain = state
         return (gain >= epsilon) & (it * block_iters * 3 < max_iters)
 
-    ll0 = loglik(theta0)
-    state = (theta0, ll0, jnp.int32(0), jnp.asarray(jnp.inf, theta0.dtype))
-    theta, ll, it, _ = jax.lax.while_loop(cond, block, block(state))
-    return theta, ll, it
+    s0 = intensities(theta0)
+    state = (theta0, s0, jnp.int32(0), jnp.asarray(jnp.inf, theta0.dtype))
+    theta, s_fin, it, _ = jax.lax.while_loop(cond, block, block(state))
+    return theta, loglik_of(s_fin), it
 
 
 def solve(problem: SolverProblem, epsilon: float = 1e-9,
@@ -169,6 +185,10 @@ def solve(problem: SolverProblem, epsilon: float = 1e-9,
         dtype = problem.eumaps.dtype
     if n_seg == 0:
         return np.zeros(ntid, dtype=dtype), 0.0, 0
+    if np.dtype(dtype) == np.float32:
+        # float32 cannot resolve likelihood gains below its noise floor;
+        # iterating past it wastes blocks without moving the estimate
+        epsilon = max(epsilon, 1e-5)
     if theta0 is None:
         # start from the unique-read estimate, floored to stay positive
         theta0 = np.ones(ntid, dtype=dtype)

@@ -61,13 +61,46 @@ class ShardedProblem:
     mesh: Mesh
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for multi-host runs (no-op when already
+    initialized or single-host).  Per-host alignment shards then feed the
+    same sharded solve; cross-host merges ride the same psum collectives
+    over DCN."""
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def shard_problem(problem: SolverProblem, reads_per_sample: np.ndarray,
-                  mesh: Mesh, dtype=np.float32) -> ShardedProblem:
+                  mesh: Mesh, dtype=np.float32,
+                  shard_by: str = "edges") -> ShardedProblem:
     """Pad + device_put the edge arrays and per-sample read counts.
 
     ``reads_per_sample``: [S, C_active] float array (one row per sample).
     Padding edges carry mult=0 so they contribute nothing.
+
+    ``shard_by``: 'edges' (arbitrary balanced split) or 'transcript'
+    (edges regrouped by tid so each tp shard owns contiguous transcript
+    blocks — the transcript-sharded index layout for very large
+    transcriptomes; identical results, different locality).
     """
+    if shard_by == "transcript":
+        order = np.argsort(problem.edge_tid, kind="stable")
+        problem = SolverProblem(
+            n_transcripts=problem.n_transcripts,
+            edge_cid=problem.edge_cid[order],
+            edge_tid=problem.edge_tid[order],
+            edge_mult=problem.edge_mult[order],
+            eumaps=problem.eumaps, reads=problem.reads, denom=problem.denom)
+    elif shard_by != "edges":
+        raise ValueError(f"unknown shard_by {shard_by!r}")
     tp = mesh.shape["tp"]
     dp = mesh.shape["dp"]
     E = len(problem.edge_cid)
@@ -121,12 +154,24 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         num = seg_t(edge_mult[None, :] * ratio[:, edge_cid])  # [S, T]
         return th * num * inv_denom[None, :]
 
-    def ll_per_sample(th):
-        s = seg_c(edge_mult[None, :] * th[:, edge_tid])
+    def intensities(th):
+        return seg_c(edge_mult[None, :] * th[:, edge_tid])  # [S, C]
+
+    def ll_of(s):
         lam = eumaps[None, :] * s
         safe = jnp.where(lam > 0, lam, 1.0)
         return jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
                                  jnp.where(reads > 0, -1e30, 0.0)), axis=1)
+
+    def gain_of(s_old, s_new):
+        """Per-sample logL delta from intensity deltas (float32-accurate;
+        see model/solver.py)."""
+        both = (s_old > 0) & (s_new > 0)
+        safe_old = jnp.where(both, s_old, 1.0)
+        ratio = jnp.log1p(jnp.where(both, (s_new - s_old) / safe_old, 0.0))
+        flipped = ((s_old > 0) != (s_new > 0)) & (reads > 0)
+        term = jnp.where(both, reads * ratio, jnp.where(flipped, 1e30, 0.0))
+        return jnp.sum(term - eumaps[None, :] * (s_new - s_old), axis=1)
 
     def squarem_cycle(th):
         # per-sample SQUAREM extrapolation (see model/solver.py); the
@@ -141,14 +186,13 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         alpha = jnp.minimum(alpha, -1.0)
         cand = jnp.maximum(th - 2.0 * alpha * r + (alpha * alpha) * v, 0.0)
         cand = em_iter(cand)
-        better = (ll_per_sample(cand) >= ll_per_sample(t2))[:, None]
+        better = (gain_of(intensities(t2), intensities(cand)) >= 0)[:, None]
         return jnp.where(better, cand, t2)
 
     theta = jax.lax.fori_loop(0, block_iters,
                               lambda _, th: squarem_cycle(th), theta)
-    ll = jnp.sum(ll_per_sample(theta))
-    ll = jax.lax.psum(ll, "dp")  # dp shards hold disjoint samples
-    return theta, ll
+    s_new = intensities(theta)
+    return theta, s_new, ll_of(s_new), gain_of
 
 
 def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
@@ -177,23 +221,26 @@ def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
         out_specs=(P("dp", None), P(), P()),
         check_vma=False)
     def run(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_den, th0):
+        def step(th):
+            return _em_block_local(edge_cid, edge_tid, edge_mult, eumaps,
+                                   reads, inv_den, th, n_t, n_s, block_iters)
+
         def block(state):
-            th, ll, it, _ = state
-            th_new, ll_new = _em_block_local(
-                edge_cid, edge_tid, edge_mult, eumaps, reads, inv_den, th,
-                n_t, n_s, block_iters)
-            return th_new, ll_new, it + 1, ll_new - ll
+            th, s_prev, _, it, _ = state
+            th_new, s_new, ll_new, gain_of = step(th)
+            gain = jax.lax.psum(jnp.sum(gain_of(s_prev, s_new)), "dp")
+            return th_new, s_new, ll_new, it + 1, gain
 
         def cond(state):
-            _, _, it, gain = state
+            _, _, _, it, gain = state
             return (gain >= epsilon) & (it < max_blocks)
 
-        th, ll = _em_block_local(edge_cid, edge_tid, edge_mult, eumaps,
-                                 reads, inv_den, th0, n_t, n_s, block_iters)
-        state = (th, ll, jnp.zeros((), jnp.int32),
+        th, s, ll, _ = step(th0)
+        state = (th, s, ll, jnp.zeros((), jnp.int32),
                  jnp.asarray(jnp.inf, th.dtype))
-        th, ll, it, _ = jax.lax.while_loop(cond, block, state)
-        return th, ll[None], it[None]
+        th, _, ll, it, _ = jax.lax.while_loop(cond, block, state)
+        ll_tot = jax.lax.psum(jnp.sum(ll), "dp")
+        return th, ll_tot[None], it[None]
 
     theta, ll, it = jax.jit(run)(sp.edge_cid, sp.edge_tid, sp.edge_mult,
                                  sp.eumaps, sp.reads, inv_denom, theta0)
