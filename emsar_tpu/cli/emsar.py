@@ -39,7 +39,8 @@ LONG = ["rsh=", "fasta=", "print_segments", "print_sfa", "print_rsh", "BAM",
         "posbias_training_len=", "posbias_impute_len=", "binsize=",
         "maxthread=", "header=", "taglen=", "maxfraglen=", "minfraglen=",
         "max_repeat=", "nround=", "epsilon=", "precision=", "delta=",
-        "max_niter_mle=", "max_nloop_mle=", "verbose", "no_verbose"]
+        "max_niter_mle=", "max_nloop_mle=", "verbose", "no_verbose",
+        "batch_samples", "solver_dtype="]
 
 
 def usage(prog: str) -> None:
@@ -136,6 +137,10 @@ def main(argv=None) -> int:
             cfg.print_sfa = True
         elif o in ("-R", "--print_rsh"):
             cfg.print_rsh = True
+        elif o == "--batch_samples":
+            cfg.batch_samples = True
+        elif o == "--solver_dtype":
+            cfg.solver_dtype = a
         elif o in ("-v", "--verbose"):
             cfg.verbose = 2
         elif o in ("-q", "--no_verbose"):
@@ -245,6 +250,13 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
         with phase("building native ingest tables", cfg.verbose):
             native_collapser = native_mod.NativeCollapser(index)
 
+    if cfg.batch_samples and cfg.multisample and len(alnfiles) > 1:
+        rc = _run_batched(cfg, index, name_to_tid, native_collapser,
+                          pe_readlength, outdir, outprefix, alnfiles)
+        if rc is not None:
+            return rc
+        # fell through: EUMAcut re-clustering triggered; per-sample loop
+
     for i, alnfile in enumerate(alnfiles):
         with phase(f"reading alignment file {alnfile or '<stdin>'}",
                    cfg.verbose):
@@ -285,6 +297,45 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
 
         if cfg.verbose > 0:
             print(f"Complete: Output file :\n  {fpkm_path}\n  {fl_path}")
+    return 0
+
+
+def _run_batched(cfg: QuantConfig, index: RshIndex, name_to_tid,
+                 native_collapser, pe_readlength, outdir, outprefix,
+                 alnfiles) -> Optional[int]:
+    """-M --batch_samples: collapse every file, solve all samples in one
+    sharded device EM.  Returns None to request the per-sample fallback."""
+    from ..model.quantify import quantify_samples_batched
+
+    counts_list = []
+    for alnfile in alnfiles:
+        with phase(f"reading alignment file {alnfile}", cfg.verbose):
+            if native_collapser is not None:
+                counts_list.append(native_collapser.collapse_file(
+                    alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
+                    cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
+                    pe_readlength if cfg.pe else None))
+            else:
+                counts_list.append(_collapse_python(
+                    index, name_to_tid, cfg, alnfile, pe_readlength))
+    with phase(f"batched solve over {len(counts_list)} samples",
+               cfg.verbose):
+        results = quantify_samples_batched(index, counts_list, cfg)
+    if results is None:
+        return None
+    for i, (counts, result) in enumerate(zip(counts_list, results)):
+        fpkm_path = os.path.join(outdir, f"{outprefix}.{i}.fpkm")
+        write_fpkm(fpkm_path, index.names, result.fpkm_rounds, result.ieuma,
+                   result.total_read_count, cfg.verbose)
+        fl_path = os.path.join(outdir, f"{outprefix}.{i}.fraglength_effect")
+        write_fraglength_dist(fl_path, index.fraglen_min, index.n_fraglen,
+                              counts.fraglength_counts, result.wf)
+        if cfg.print_segments:
+            seg_path = os.path.join(outdir, f"{outprefix}.{i}.segments")
+            write_segments(seg_path, index.names, result.graph.ct_offsets,
+                           result.graph.ct_tids, result.modules.cs,
+                           result.adj_euma, result.graph.read_count,
+                           result.fpkm, result.total_read_count)
     return 0
 
 

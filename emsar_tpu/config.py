@@ -96,6 +96,7 @@ class QuantConfig:
     perpos_freq_impute_len: int = 200
     verbose: int = 1
     # TPU-specific knobs
+    batch_samples: bool = False  # -M: one batched device solve over samples
     solver_dtype: str = "float64"  # 'float32' | 'float64'
     solver_block_iters: int = 8  # SQUAREM cycles fused per convergence check
     rng_seed: Optional[int] = None

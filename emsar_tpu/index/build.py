@@ -178,10 +178,10 @@ class SignatureAccumulator:
         out_sizes = rep_sizes[canon_order]
         sig_offsets = np.zeros(n_grp + 1, dtype=np.int64)
         np.cumsum(out_sizes, out=sig_offsets[1:])
-        sig_tids = np.empty(int(out_sizes.sum()), dtype=np.int32)
-        for k, g in enumerate(canon_order):
-            sig_tids[sig_offsets[k]:sig_offsets[k + 1]] = \
-                flat[offsets[rep[g]]:offsets[rep[g]] + rep_sizes[g]]
+        pos_out = (np.arange(int(sig_offsets[-1]))
+                   - np.repeat(sig_offsets[:-1], out_sizes))
+        take = np.repeat(offsets[rep[canon_order]], out_sizes) + pos_out
+        sig_tids = flat[take]
         return sig_offsets, sig_tids, euma
 
 

@@ -67,13 +67,21 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
         eumaps = adj_euma / 1e3 * (counts.total_read_count / 1e6) \
             * (10.0 ** cfg.delta)
         dtype = np.float64 if cfg.solver_dtype == "float64" else np.float32
+        # the problem keeps f64 masters; solve() casts to the device dtype
         problem = build_problem(graph, modules, eumaps, read_count,
-                                dtype=dtype)
+                                dtype=np.float64)
         fpkm, ll, blocks = solve(problem, epsilon=cfg.epsilon,
                                  max_iters=cfg.max_niter_mle,
                                  block_iters=cfg.solver_block_iters,
                                  dtype=dtype)
         fpkm = fpkm.astype(np.float64)
+        if dtype == np.float32:
+            # close the float32 convergence floor with a short host f64
+            # SQUAREM polish (see solver.polish_host_f64)
+            from .solver import polish_host_f64
+            fpkm = polish_host_f64(problem, fpkm,
+                                   epsilon=max(cfg.epsilon, 1e-7),
+                                   max_cycles=60)
 
     with phase("iEUMA", cfg.verbose):
         # iEUMA[tid] = sum over ALL cids containing tid (with multiplicity),
@@ -88,3 +96,98 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
                        adj_euma=adj_euma, wf=wf, graph=graph, modules=modules,
                        total_read_count=counts.total_read_count,
                        loglik=ll, em_blocks=blocks)
+
+
+def quantify_samples_batched(index: RshIndex, counts_list, cfg: QuantConfig,
+                             mesh=None):
+    """Batched multisample quantification: one sharded device solve over
+    the sample axis (dp) x likelihood edges (tp), per-sample EUMAps from
+    per-sample fragment-length weights.
+
+    Falls back to None (caller loops) when EUMAcut re-clustering triggers
+    (module structure then depends on per-sample EUMA).  Results match the
+    per-sample path at solver tolerance.
+    """
+    from ..parallel.mesh import make_mesh, shard_problem, solve_sharded
+    from .solver import SolverProblem, polish_host_f64
+
+    ntid = index.n_transcripts
+    S = len(counts_list)
+    wfs, adjs, rcs = [], [], []
+    for counts in counts_list:
+        wf = compute_wf(index, counts.fraglength_counts)
+        adj = np.concatenate([index.single_euma.astype(np.float64) @ wf,
+                              index.multi_euma.astype(np.float64) @ wf])
+        wfs.append(wf)
+        adjs.append(adj)
+        rcs.append(counts.readcount_per_cid())
+
+    graph = build_segment_graph(index, adjs[0], rcs[0])
+    modules = decompose_modules(graph, verbose=cfg.verbose)
+    if modules.euma_cut != 0.0:
+        return None  # module structure is sample-dependent; loop instead
+
+    # active cids: in a module (union over samples of the E>0 criterion is
+    # handled by zeroing reads where a sample's EUMAps is 0)
+    active = modules.cs >= 0
+    act_cids = np.flatnonzero(active)
+    local = np.full(graph.n_cid, -1, dtype=np.int64)
+    local[act_cids] = np.arange(len(act_cids))
+
+    off = graph.ct_offsets
+    sizes = np.diff(off)
+    rep = np.repeat(active, sizes)
+    flat_cid = np.repeat(np.arange(graph.n_cid, dtype=np.int64), sizes)[rep]
+    flat_tid = graph.ct_tids[rep].astype(np.int64)
+    key = flat_cid * ntid + flat_tid
+    uniq, mult = np.unique(key, return_counts=True)
+    e_cid = local[uniq // ntid].astype(np.int32)
+    e_tid = (uniq % ntid).astype(np.int32)
+    e_mult = mult.astype(np.float64)
+
+    scale = (10.0 ** cfg.delta) / 1e9
+    E_mat = np.stack([adjs[s][act_cids] *
+                      (counts_list[s].total_read_count * scale)
+                      for s in range(S)])
+    R_mat = np.stack([rcs[s][act_cids].astype(np.float64) for s in range(S)])
+    R_mat = np.where(E_mat > 0, R_mat, 0.0)  # reference skips E==0 segments
+    denom_mat = np.zeros((S, ntid))
+    for s in range(S):
+        np.add.at(denom_mat[s], e_tid, e_mult * E_mat[s, e_cid])
+
+    problem = SolverProblem(n_transcripts=ntid, edge_cid=e_cid,
+                            edge_tid=e_tid, edge_mult=e_mult,
+                            eumaps=E_mat[0], reads=R_mat[0],
+                            denom=denom_mat[0])
+    if mesh is None:
+        mesh = make_mesh()
+    dtype = np.float64 if cfg.solver_dtype == "float64" else np.float32
+    sp = shard_problem(problem, R_mat, mesh, dtype=dtype,
+                       eumaps_per_sample=E_mat, denom_per_sample=denom_mat)
+    theta, ll, blocks = solve_sharded(sp, epsilon=max(cfg.epsilon, 1e-5)
+                                      if dtype == np.float32 else cfg.epsilon,
+                                      block_iters=cfg.solver_block_iters)
+    theta = np.asarray(theta)[:S].astype(np.float64)
+
+    results = []
+    ct_rep = np.repeat(np.arange(graph.n_cid), sizes)
+    for s in range(S):
+        fpkm = theta[s]
+        if dtype == np.float32:
+            ps = SolverProblem(n_transcripts=ntid, edge_cid=e_cid,
+                               edge_tid=e_tid, edge_mult=e_mult,
+                               eumaps=E_mat[s], reads=R_mat[s],
+                               denom=denom_mat[s])
+            fpkm = polish_host_f64(ps, fpkm, epsilon=max(cfg.epsilon, 1e-7),
+                                   max_cycles=60)
+        ieuma = np.zeros(ntid)
+        np.add.at(ieuma, graph.ct_tids, adjs[s][ct_rep])
+        fpkm_rounds = np.broadcast_to(fpkm, (cfg.num_round, ntid)).copy()
+        graph_s = dataclasses.replace(graph, adj_euma=adjs[s],
+                                      read_count=rcs[s])
+        results.append(QuantResult(
+            fpkm=fpkm, fpkm_rounds=fpkm_rounds, ieuma=ieuma,
+            adj_euma=adjs[s], wf=wfs[s], graph=graph_s, modules=modules,
+            total_read_count=counts_list[s].total_read_count,
+            loglik=float(ll), em_blocks=blocks))
+    return results

@@ -174,6 +174,60 @@ def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
     return theta, loglik_of(s_fin), it
 
 
+def polish_host_f64(problem: SolverProblem, theta: np.ndarray,
+                    epsilon: float = 1e-9, max_cycles: int = 200
+                    ) -> np.ndarray:
+    """Short float64 SQUAREM polish on the host (bincount-based EM).
+
+    Used after a float32 device solve to close the float32 convergence
+    floor; starts at the device solution so only a handful of cycles run.
+    """
+    e_cid = problem.edge_cid.astype(np.int64)
+    e_tid = problem.edge_tid.astype(np.int64)
+    mult = problem.edge_mult.astype(np.float64)
+    E = problem.eumaps.astype(np.float64)
+    R = problem.reads.astype(np.float64)
+    denom = problem.denom.astype(np.float64)
+    n_seg = len(E)
+    ntid = problem.n_transcripts
+    inv_denom = np.where(denom > 0, 1.0 / np.where(denom > 0, denom, 1.0), 0.0)
+
+    def em(th):
+        s = np.bincount(e_cid, weights=mult * th[e_tid], minlength=n_seg)
+        ratio = np.where(s > 0, R / np.where(s > 0, s, 1.0), 0.0)
+        num = np.bincount(e_tid, weights=mult * ratio[e_cid], minlength=ntid)
+        return th * num * inv_denom
+
+    def gain(s_old, s_new):
+        both = (s_old > 0) & (s_new > 0)
+        ratio = np.log1p(np.where(both, (s_new - s_old) /
+                                  np.where(both, s_old, 1.0), 0.0))
+        flipped = ((s_old > 0) != (s_new > 0)) & (R > 0)
+        term = np.where(both, R * ratio, np.where(flipped, 1e30, 0.0))
+        return float(np.sum(term - E * (s_new - s_old)))
+
+    def intens(th):
+        return np.bincount(e_cid, weights=mult * th[e_tid], minlength=n_seg)
+
+    th = theta.astype(np.float64)
+    s_prev = intens(th)
+    for _ in range(max_cycles):
+        t1 = em(th)
+        t2 = em(t1)
+        r = t1 - th
+        v = t2 - t1 - r
+        vn = float(np.sqrt(np.sum(v * v)))
+        alpha = -float(np.sqrt(np.sum(r * r))) / vn if vn > 0 else -1.0
+        alpha = min(alpha, -1.0)
+        cand = em(np.maximum(th - 2.0 * alpha * r + alpha * alpha * v, 0.0))
+        th = cand if gain(intens(t2), intens(cand)) >= 0 else t2
+        s_new = intens(th)
+        if gain(s_prev, s_new) < epsilon:
+            break
+        s_prev = s_new
+    return th
+
+
 def solve(problem: SolverProblem, epsilon: float = 1e-9,
           max_iters: int = 200000, block_iters: int = 8,
           dtype=None, theta0: Optional[np.ndarray] = None

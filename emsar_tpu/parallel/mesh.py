@@ -48,16 +48,20 @@ def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
 
 @dataclasses.dataclass
 class ShardedProblem:
-    """Edge arrays padded to a multiple of the tp axis; reads [S, C]."""
+    """Edge arrays padded to a multiple of the tp axis; reads [S, C].
+
+    ``eumaps`` / ``denom`` may be per-sample ([S, C] / [S, T], sharded like
+    reads) — multisample batches have per-sample fragment-length weights —
+    or shared ([C] / [T], replicated)."""
 
     n_transcripts: int
     n_segments: int
     edge_cid: jax.Array  # int32 [Ep] sharded P('tp')
     edge_tid: jax.Array
     edge_mult: jax.Array
-    eumaps: jax.Array  # [C] replicated
+    eumaps: jax.Array  # [S, C] sharded P('dp', None) (or [C] replicated)
     reads: jax.Array  # [S, C] sharded P('dp', None)
-    denom: jax.Array  # [T] replicated
+    denom: jax.Array  # [S, T] sharded P('dp', None) (or [T] replicated)
     mesh: Mesh
 
 
@@ -80,11 +84,19 @@ def init_distributed(coordinator: Optional[str] = None,
 
 def shard_problem(problem: SolverProblem, reads_per_sample: np.ndarray,
                   mesh: Mesh, dtype=np.float32,
-                  shard_by: str = "edges") -> ShardedProblem:
+                  shard_by: str = "edges",
+                  eumaps_per_sample: Optional[np.ndarray] = None,
+                  denom_per_sample: Optional[np.ndarray] = None
+                  ) -> ShardedProblem:
     """Pad + device_put the edge arrays and per-sample read counts.
 
     ``reads_per_sample``: [S, C_active] float array (one row per sample).
     Padding edges carry mult=0 so they contribute nothing.
+
+    ``eumaps_per_sample`` / ``denom_per_sample``: optional [S, C] / [S, T]
+    per-sample EUMAps and denominators (multisample batches weight EUMA by
+    per-sample fragment-length distributions); defaults to the shared
+    values in ``problem``.
 
     ``shard_by``: 'edges' (arbitrary balanced split) or 'transcript'
     (edges regrouped by tid so each tp shard owns contiguous transcript
@@ -113,21 +125,32 @@ def shard_problem(problem: SolverProblem, reads_per_sample: np.ndarray,
         out[:E] = a
         return out
 
-    reads = np.zeros((Sp, reads_per_sample.shape[1]), dtype=dtype)
-    reads[:S] = reads_per_sample
+    def pad_s(rows, ncol):
+        out = np.zeros((Sp, ncol), dtype=dtype)
+        out[:S] = rows
+        return out
+
+    reads = pad_s(reads_per_sample, reads_per_sample.shape[1])
+    if eumaps_per_sample is None:
+        eumaps_per_sample = np.broadcast_to(problem.eumaps,
+                                            (S, len(problem.eumaps)))
+    if denom_per_sample is None:
+        denom_per_sample = np.broadcast_to(problem.denom,
+                                           (S, problem.n_transcripts))
+    eumaps = pad_s(eumaps_per_sample, len(problem.eumaps))
+    denom = pad_s(denom_per_sample, problem.n_transcripts)
 
     e_sh = NamedSharding(mesh, P("tp"))
     r_sh = NamedSharding(mesh, P("dp", None))
-    rep = NamedSharding(mesh, P())
     return ShardedProblem(
         n_transcripts=problem.n_transcripts,
         n_segments=len(problem.eumaps),
         edge_cid=jax.device_put(pad_e(problem.edge_cid), e_sh),
         edge_tid=jax.device_put(pad_e(problem.edge_tid), e_sh),
         edge_mult=jax.device_put(pad_e(problem.edge_mult.astype(dtype)), e_sh),
-        eumaps=jax.device_put(problem.eumaps.astype(dtype), rep),
+        eumaps=jax.device_put(eumaps, r_sh),
         reads=jax.device_put(reads, r_sh),
-        denom=jax.device_put(problem.denom.astype(dtype), rep),
+        denom=jax.device_put(denom, r_sh),
         mesh=mesh)
 
 
@@ -135,7 +158,8 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
                     theta, n_transcripts, n_segments, block_iters):
     """One block of EM iterations on local shards; psums over 'tp'.
 
-    reads/theta: [S_local, C] / [S_local, T]; edges: local [E_local].
+    reads/eumaps/theta/inv_denom: [S_local, C] / [S_local, C] /
+    [S_local, T] / [S_local, T]; edges: local [E_local].
     """
 
     def seg_c(vals_sxe):
@@ -152,13 +176,13 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         s = seg_c(edge_mult[None, :] * th[:, edge_tid])  # [S, C]
         ratio = jnp.where(s > 0, reads / jnp.where(s > 0, s, 1.0), 0.0)
         num = seg_t(edge_mult[None, :] * ratio[:, edge_cid])  # [S, T]
-        return th * num * inv_denom[None, :]
+        return th * num * inv_denom
 
     def intensities(th):
         return seg_c(edge_mult[None, :] * th[:, edge_tid])  # [S, C]
 
     def ll_of(s):
-        lam = eumaps[None, :] * s
+        lam = eumaps * s
         safe = jnp.where(lam > 0, lam, 1.0)
         return jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
                                  jnp.where(reads > 0, -1e30, 0.0)), axis=1)
@@ -171,7 +195,7 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         ratio = jnp.log1p(jnp.where(both, (s_new - s_old) / safe_old, 0.0))
         flipped = ((s_old > 0) != (s_new > 0)) & (reads > 0)
         term = jnp.where(both, reads * ratio, jnp.where(flipped, 1e30, 0.0))
-        return jnp.sum(term - eumaps[None, :] * (s_new - s_old), axis=1)
+        return jnp.sum(term - eumaps * (s_new - s_old), axis=1)
 
     def squarem_cycle(th):
         # per-sample SQUAREM extrapolation (see model/solver.py); the
@@ -205,9 +229,7 @@ def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
     mesh = sp.mesh
     S = sp.reads.shape[0]
     dtype = sp.reads.dtype
-    theta0 = jnp.broadcast_to(
-        jnp.where(sp.denom > 0, jnp.asarray(1.0, dtype), 0.0)[None, :],
-        (S, sp.n_transcripts))
+    theta0 = jnp.where(sp.denom > 0, jnp.asarray(1.0, dtype), 0.0)
     theta0 = jax.device_put(theta0, NamedSharding(mesh, P("dp", None)))
     inv_denom = jnp.where(sp.denom > 0, 1.0 / jnp.where(sp.denom > 0,
                                                         sp.denom, 1.0), 0.0)
@@ -216,8 +238,8 @@ def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P("tp"), P("tp"), P("tp"), P(), P("dp", None), P(),
-                  P("dp", None)),
+        in_specs=(P("tp"), P("tp"), P("tp"), P("dp", None), P("dp", None),
+                  P("dp", None), P("dp", None)),
         out_specs=(P("dp", None), P(), P()),
         check_vma=False)
     def run(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_den, th0):

@@ -83,6 +83,33 @@ def test_multisample(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_multisample_batched_matches_loop(tmp_path):
+    """-M --batch_samples (one sharded device solve over the sample axis)
+    must match the per-sample loop at solver tolerance."""
+    rng = np.random.default_rng(85)
+    _, rsh, aln1 = _make_fixture(tmp_path, rng, n_tx=25, readlength=18,
+                                 pe=False, fraglen=18, n_reads=1200)
+    lines = open(aln1).readlines()
+    aln2 = str(tmp_path / "aln2.bowtieout")
+    with open(aln2, "w") as fh:
+        fh.writelines(lines[: len(lines) // 2])
+    listfile = str(tmp_path / "samples.list")
+    with open(listfile, "w") as fh:
+        fh.write(aln1 + "\n" + aln2 + "\n")
+
+    out_loop = tmp_path / "loop"
+    out_batch = tmp_path / "batch"
+    assert emsar_cli.main(["-q", "-M", "-I", rsh, str(out_loop), "s",
+                           listfile]) == 0
+    assert emsar_cli.main(["-q", "-M", "--batch_samples", "-I", rsh,
+                           str(out_batch), "s", listfile]) == 0
+    for i in (0, 1):
+        _, a = _parse_fpkm(str(out_loop / f"s.{i}.fpkm"))
+        _, b = _parse_fpkm(str(out_batch / f"s.{i}.fpkm"))
+        np.testing.assert_allclose(b[:, 0], a[:, 0], rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(b[:, 2], a[:, 2], rtol=0, atol=1e-6)
+
+
 def test_stdin_streaming(tmp_path, monkeypatch):
     """Usage3: bowtie output piped on stdin (via the native path's fd 0 or
     the Python fallback)."""
