@@ -97,6 +97,8 @@ class QuantConfig:
     verbose: int = 1
     # TPU-specific knobs
     batch_samples: bool = False  # -M: one batched device solve over samples
+    solver_mode: str = "auto"  # 'auto' (dense batches + CSR rest) | 'csr'
+    solver_pallas: bool = False  # VMEM-resident Pallas EM blocks
     solver_dtype: str = "float64"  # 'float32' | 'float64'
     solver_block_iters: int = 8  # SQUAREM cycles fused per convergence check
     rng_seed: Optional[int] = None

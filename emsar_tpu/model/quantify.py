@@ -70,18 +70,26 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
         # the problem keeps f64 masters; solve() casts to the device dtype
         problem = build_problem(graph, modules, eumaps, read_count,
                                 dtype=np.float64)
-        fpkm, ll, blocks = solve(problem, epsilon=cfg.epsilon,
-                                 max_iters=cfg.max_niter_mle,
-                                 block_iters=cfg.solver_block_iters,
-                                 dtype=dtype)
-        fpkm = fpkm.astype(np.float64)
-        if dtype == np.float32:
-            # close the float32 convergence floor with a short host f64
-            # SQUAREM polish (see solver.polish_host_f64)
+        if cfg.solver_mode == "auto":
+            fpkm, blocks = _solve_auto(graph, modules, eumaps, read_count,
+                                       problem, cfg, dtype)
+            ll = float("nan")
+        else:
+            fpkm, ll, blocks = solve(problem, epsilon=cfg.epsilon,
+                                     max_iters=cfg.max_niter_mle,
+                                     block_iters=cfg.solver_block_iters,
+                                     dtype=dtype)
+            fpkm = fpkm.astype(np.float64)
+        if dtype == np.float32 or cfg.solver_mode == "auto":
+            # close the float32 convergence floor / dense-CSR seams with a
+            # short host f64 SQUAREM polish (see solver.polish_host_f64)
             from .solver import polish_host_f64
             fpkm = polish_host_f64(problem, fpkm,
-                                   epsilon=max(cfg.epsilon, 1e-7),
+                                   epsilon=max(cfg.epsilon, 1e-7)
+                                   if dtype == np.float32 else cfg.epsilon,
                                    max_cycles=60)
+        if not np.isfinite(ll):
+            ll = _host_loglik(problem, fpkm)
 
     with phase("iEUMA", cfg.verbose):
         # iEUMA[tid] = sum over ALL cids containing tid (with multiplicity),
@@ -96,6 +104,52 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
                        adj_euma=adj_euma, wf=wf, graph=graph, modules=modules,
                        total_read_count=counts.total_read_count,
                        loglik=ll, em_blocks=blocks)
+
+
+def _host_loglik(problem, theta: np.ndarray) -> float:
+    s = np.zeros(len(problem.eumaps))
+    np.add.at(s, problem.edge_cid,
+              problem.edge_mult * theta[problem.edge_tid])
+    lam = problem.eumaps * s
+    m = lam > 0
+    ll = float(np.sum(problem.reads[m] * np.log(lam[m]) - lam[m]))
+    if ((~m) & (problem.reads > 0)).any():
+        ll = -1e30
+    return ll
+
+
+def _solve_auto(graph, modules, eumaps, read_count, problem, cfg, dtype):
+    """Dense-batched MXU solve for small modules + CSR for the rest."""
+    import dataclasses as _dc
+
+    from .dense import partition_modules, solve_dense_batch
+
+    part = partition_modules(graph, modules, eumaps, read_count, dtype=dtype)
+    eps = max(cfg.epsilon, 1e-5) if dtype == np.float32 else cfg.epsilon
+    fpkm = np.zeros(graph.n_transcripts, dtype=np.float64)
+    blocks_total = 0
+    for batch in part.batches:
+        theta, blocks = solve_dense_batch(batch, eps,
+                                          block_iters=cfg.solver_block_iters,
+                                          use_pallas=cfg.solver_pallas)
+        blocks_total += blocks
+        mask = batch.tid_map >= 0
+        fpkm[batch.tid_map[mask]] = theta[mask].astype(np.float64)
+    if len(part.csr_sids):
+        keep = np.isin(modules.cs, part.csr_sids)
+        modules_csr = _dc.replace(modules,
+                                  cs=np.where(keep, modules.cs, -1))
+        csr_problem = build_problem(graph, modules_csr, eumaps, read_count,
+                                    dtype=np.float64)
+        theta, _, blocks = solve(csr_problem, epsilon=cfg.epsilon,
+                                 max_iters=cfg.max_niter_mle,
+                                 block_iters=cfg.solver_block_iters,
+                                 dtype=dtype)
+        blocks_total += blocks
+        touched = np.zeros(graph.n_transcripts, dtype=bool)
+        touched[csr_problem.edge_tid] = True
+        fpkm[touched] = theta.astype(np.float64)[touched]
+    return fpkm, blocks_total
 
 
 def quantify_samples_batched(index: RshIndex, counts_list, cfg: QuantConfig,
