@@ -200,20 +200,17 @@ def _pallas_block(m, eumaps, reads, inv_denom, theta, n_iters: int,
         rr = r_ref[:]
         inv = inv_ref[:]
 
-        def em(th):
-            s = jax.lax.dot_general(
-                mm, th, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=th.dtype)
-            ratio = jnp.where(s > 0, rr / jnp.where(s > 0, s, 1.0), 0.0)
-            num = jax.lax.dot_general(
-                ratio, mm, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=th.dtype)
-            return th * num * inv
-
+        # Mosaic does not lower batched dot_general; the tiles are
+        # VMEM-resident so elementwise-multiply + axis reduction on the
+        # VPU is the right formulation (no HBM traffic either way).
         def intens(th):
-            return jax.lax.dot_general(
-                mm, th, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=th.dtype)
+            return jnp.sum(mm * th[:, None, :], axis=2)
+
+        def em(th):
+            s = intens(th)
+            ratio = jnp.where(s > 0, rr / jnp.where(s > 0, s, 1.0), 0.0)
+            num = jnp.sum(mm * ratio[:, :, None], axis=1)
+            return th * num * inv
 
         def body(_, th):
             t1 = em(th)

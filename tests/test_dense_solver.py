@@ -83,11 +83,24 @@ def test_dense_matches_csr():
 
 def test_pallas_kernel_matches_jax_dense():
     graph, modules, eumaps, rc = _problem(seed=1)
+    problem = build_problem(graph, modules, eumaps, rc)
     f_jax, _ = _fpkm_dense(graph, modules, eumaps, rc, use_pallas=False,
                            dtype=np.float32)
     f_pl, _ = _fpkm_dense(graph, modules, eumaps, rc, use_pallas=True,
                           dtype=np.float32)
-    np.testing.assert_allclose(f_pl, f_jax, rtol=1e-4, atol=1e-3)
+    # both reach the same optimum; coordinates may differ along collinear
+    # directions, so compare likelihood + identifiable intensities
+    ll_jax = _loglik(problem, f_jax)
+    ll_pl = _loglik(problem, f_pl)
+    assert abs(ll_pl - ll_jax) <= 1e-5 * abs(ll_jax)
+
+    def seg_intensity(th):
+        s = np.zeros(len(problem.eumaps))
+        np.add.at(s, problem.edge_cid,
+                  problem.edge_mult * th[problem.edge_tid])
+        return problem.eumaps * s
+    np.testing.assert_allclose(seg_intensity(f_pl), seg_intensity(f_jax),
+                               rtol=5e-3, atol=1e-3)
 
 
 def test_quantify_auto_mode_matches_csr():
