@@ -201,6 +201,14 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                         _sam_bam_records(alnfiles[0], cfg.aln_format))
                 rl_lo = rl_hi = rl
             else:
+                if not alnfiles[0]:
+                    # the reference has the same limitation: the SE
+                    # read-length range is learned by scanning the whole
+                    # alignment file (SURVEY quirk (b))
+                    die("error: single-end -x requires a file (not stdin): "
+                        "the read-length range is learned by scanning the "
+                        "whole alignment file. Build an rsh index first "
+                        "and use -I for streaming.")
                 if cfg.aln_format == "bowtie":
                     rl_lo, rl_hi = bowtie.probe_readlength_range(alnfiles[0])
                 else:

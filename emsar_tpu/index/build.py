@@ -190,9 +190,11 @@ def _sorted_run_signatures(run_id: np.ndarray, tids: np.ndarray,
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sorted tid multisets of the kept runs: (flat, sizes, kept_run_ids)."""
     mask = keep[run_id]
-    rid = run_id[mask]
-    t = tids[mask]
-    order = np.lexsort((t, rid))
+    rid = run_id[mask].astype(np.int64)
+    t = tids[mask].astype(np.int64)
+    # single composite radix sort beats a two-key lexsort
+    ntid_bound = int(t.max()) + 1 if len(t) else 1
+    order = np.argsort(rid * ntid_bound + t, kind="stable")
     rid = rid[order]
     t = t[order]
     kept_runs, counts = np.unique(rid, return_counts=True)

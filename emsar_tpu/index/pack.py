@@ -45,8 +45,8 @@ def pack16(codes: np.ndarray) -> np.ndarray:
 
 def bad_prefix(codes: np.ndarray) -> np.ndarray:
     """bad_prefix[i] = number of non-ACGT chars in codes[:i] (len L+1)."""
-    bad = (codes >= 4).astype(np.int64)
-    out = np.zeros(codes.shape[0] + 1, dtype=np.int64)
+    bad = (codes >= 4).astype(np.int32)
+    out = np.zeros(codes.shape[0] + 1, dtype=np.int32)
     np.cumsum(bad, out=out[1:])
     return out
 

@@ -148,8 +148,11 @@ def _dense_solve_jax(m, eumaps, reads, denom, theta0, epsilon,
         both = (s_old > 0) & (s_new > 0)
         ratio = jnp.log1p(jnp.where(both, (s_new - s_old) /
                                     jnp.where(both, s_old, 1.0), 0.0))
-        flipped = ((s_old > 0) != (s_new > 0)) & (reads > 0)
-        term = jnp.where(both, reads * ratio, jnp.where(flipped, 1e30, 0.0))
+        died = (s_old > 0) & (s_new <= 0) & (reads > 0)
+        born = (s_old <= 0) & (s_new > 0) & (reads > 0)
+        term = jnp.where(both, reads * ratio,
+                         jnp.where(died, -1e30,
+                                   jnp.where(born, 1e30, 0.0)))
         return jnp.sum(term - eumaps * (s_new - s_old), axis=1)
 
     def cycle(th):
@@ -229,9 +232,11 @@ def _pallas_block(m, eumaps, reads, inv_denom, theta, n_iters: int,
             both = (lam2 > 0) & (lamc > 0)
             ratio = jnp.log1p(jnp.where(both, (lamc - lam2) /
                                         jnp.where(both, lam2, 1.0), 0.0))
-            flipped = ((lam2 > 0) != (lamc > 0)) & (rr > 0)
+            died = (lam2 > 0) & (lamc <= 0) & (rr > 0)
+            born = (lam2 <= 0) & (lamc > 0) & (rr > 0)
             term = jnp.where(both, rr * ratio,
-                             jnp.where(flipped, 1e30, 0.0))
+                             jnp.where(died, -1e30,
+                                       jnp.where(born, 1e30, 0.0)))
             gain = jnp.sum(term - ee * (lamc - lam2), axis=1, keepdims=True)
             return jnp.where(gain >= 0, cand, t2)
 
@@ -288,7 +293,10 @@ def solve_dense_batch(batch: DenseBatch, epsilon: float,
         both = (s_prev > 0) & (s_new > 0)
         ratio = jnp.log1p(jnp.where(both, (s_new - s_prev) /
                                     jnp.where(both, s_prev, 1.0), 0.0))
-        term = jnp.where(both, R * ratio, 0.0)
+        died = (s_prev > 0) & (s_new <= 0) & (R > 0)
+        born = (s_prev <= 0) & (s_new > 0) & (R > 0)
+        term = jnp.where(both, R * ratio,
+                         jnp.where(died, -1e30, jnp.where(born, 1e30, 0.0)))
         gain = float(jnp.sum(term - E * (s_new - s_prev)))
         s_prev = s_new
         if gain < epsilon:

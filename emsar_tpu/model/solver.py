@@ -138,8 +138,13 @@ def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
         both = (s_old > 0) & (s_new > 0)
         safe_old = jnp.where(both, s_old, 1.0)
         ratio = jnp.log1p(jnp.where(both, (s_new - s_old) / safe_old, 0.0))
-        flipped = ((s_old > 0) != (s_new > 0)) & (reads > 0)
-        term = jnp.where(both, reads * ratio, jnp.where(flipped, 1e30, 0.0))
+        # a read-bearing segment whose intensity collapses to 0 is a
+        # likelihood collapse (-inf), NOT a gain; the reverse is +inf
+        died = (s_old > 0) & (s_new <= 0) & (reads > 0)
+        born = (s_old <= 0) & (s_new > 0) & (reads > 0)
+        term = jnp.where(both, reads * ratio,
+                         jnp.where(died, -1e30,
+                                   jnp.where(born, 1e30, 0.0)))
         return jnp.sum(term - eumaps * (s_new - s_old))
 
     def squarem_cycle(theta):
@@ -202,8 +207,10 @@ def polish_host_f64(problem: SolverProblem, theta: np.ndarray,
         both = (s_old > 0) & (s_new > 0)
         ratio = np.log1p(np.where(both, (s_new - s_old) /
                                   np.where(both, s_old, 1.0), 0.0))
-        flipped = ((s_old > 0) != (s_new > 0)) & (R > 0)
-        term = np.where(both, R * ratio, np.where(flipped, 1e30, 0.0))
+        died = (s_old > 0) & (s_new <= 0) & (R > 0)
+        born = (s_old <= 0) & (s_new > 0) & (R > 0)
+        term = np.where(both, R * ratio,
+                        np.where(died, -1e30, np.where(born, 1e30, 0.0)))
         return float(np.sum(term - E * (s_new - s_old)))
 
     def intens(th):

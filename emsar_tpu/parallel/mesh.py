@@ -193,8 +193,11 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         both = (s_old > 0) & (s_new > 0)
         safe_old = jnp.where(both, s_old, 1.0)
         ratio = jnp.log1p(jnp.where(both, (s_new - s_old) / safe_old, 0.0))
-        flipped = ((s_old > 0) != (s_new > 0)) & (reads > 0)
-        term = jnp.where(both, reads * ratio, jnp.where(flipped, 1e30, 0.0))
+        died = (s_old > 0) & (s_new <= 0) & (reads > 0)
+        born = (s_old <= 0) & (s_new > 0) & (reads > 0)
+        term = jnp.where(both, reads * ratio,
+                         jnp.where(died, -1e30,
+                                   jnp.where(born, 1e30, 0.0)))
         return jnp.sum(term - eumaps * (s_new - s_old), axis=1)
 
     def squarem_cycle(th):

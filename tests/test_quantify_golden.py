@@ -46,8 +46,11 @@ def _make_fixture(tmp_path, rng, n_tx, readlength, pe, fraglen, n_reads,
                         extra=extra)
 
     tx = build_transcriptome(names, seqs)
+    # forward-stranded libraries simulate from the fw half only; reverse
+    # libraries simulate unstranded (the '+' reads are then filtered by
+    # both tools identically)
     pos = simulate_fragments(tx, fraglen, n_reads, rng,
-                             strand_specific=(strand != "ns"))
+                             strand_specific=strand in ("ssf", "ssfr"))
     rnames, r1, r2 = fragments_to_reads(tx, pos, readlength, fraglen, pe)
 
     aln = str(tmp_path / "aln.bowtieout")
@@ -131,4 +134,33 @@ def test_se_stranded_quantify_golden(tmp_path):
                                 pe=False, fraglen=18, n_reads=3000,
                                 strand="ssf")
     ref, ours = _run_both(tmp_path, rsh, aln, pe=False, strand="ssf")
+    _compare(ref, ours)
+
+
+def test_se_reverse_stranded_quantify_golden(tmp_path):
+    """ssr: reads from the '-' strand; the index is still built on the fw
+    half, only the read strand filter flips."""
+    rng = np.random.default_rng(45)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=25, readlength=18,
+                                pe=False, fraglen=18, n_reads=2000,
+                                strand="ssr")
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=False, strand="ssr")
+    _compare(ref, ours)
+
+
+def test_pe_reverse_stranded_quantify_golden(tmp_path):
+    rng = np.random.default_rng(46)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=20, readlength=18,
+                                pe=True, fraglen=45, n_reads=1500,
+                                strand="ssrf", max_frag=70)
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=True, strand="ssrf")
+    _compare(ref, ours)
+
+
+def test_max_repeat_flag_golden(tmp_path):
+    """-k 3: reads with more than 3 alignments are discarded identically."""
+    rng = np.random.default_rng(47)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=25, readlength=15,
+                                pe=False, fraglen=15, n_reads=2000)
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=False, extra=("-k", "3"))
     _compare(ref, ours)
