@@ -14,7 +14,7 @@
 //    multi signatures only when present in the index
 //  * every in-range read enters TotalReadCount + the fraglen histogram
 //
-// Build: g++ -O3 -std=c++17 -shared -fPIC ingest.cc -o libemsar_ingest.so -lz
+// Build: g++ -O3 -std=c++20 -shared -fPIC ingest.cc -o libemsar_ingest.so -lz
 
 #include <zlib.h>
 
@@ -29,9 +29,17 @@
 
 namespace {
 
+// heterogeneous lookup: find() with string_view, no temporary std::string
+struct SvHash {
+    using is_transparent = void;
+    size_t operator()(std::string_view s) const {
+        return std::hash<std::string_view>{}(s);
+    }
+};
+
 struct SigTable {
     // bytes of sorted int32 multiset -> row id
-    std::unordered_map<std::string, int64_t> map;
+    std::unordered_map<std::string, int64_t, SvHash, std::equal_to<>> map;
 };
 
 struct Counts {
@@ -78,8 +86,9 @@ struct Collapser {
             tid_buf.clear();
             for (auto& a : cur) tid_buf.push_back(a.tid);
             std::sort(tid_buf.begin(), tid_buf.end());
-            std::string key(reinterpret_cast<const char*>(tid_buf.data()),
-                            tid_buf.size() * sizeof(int32_t));
+            std::string_view key(
+                reinterpret_cast<const char*>(tid_buf.data()),
+                tid_buf.size() * sizeof(int32_t));
             auto it = sigs->map.find(key);
             if (it != sigs->map.end()) out->multi_counts[it->second]++;
         }
@@ -146,8 +155,18 @@ struct LineReader {
 };
 
 struct NameTable {
-    std::unordered_map<std::string, int32_t> map;
+    std::unordered_map<std::string, int32_t, SvHash, std::equal_to<>> map;
 };
+
+int32_t parse_i32(std::string_view s) {
+    int32_t v = 0;
+    bool neg = false;
+    size_t i = 0;
+    if (i < s.size() && (s[i] == '-' || s[i] == '+')) neg = s[i++] == '-';
+    for (; i < s.size() && s[i] >= '0' && s[i] <= '9'; i++)
+        v = v * 10 + (s[i] - '0');
+    return neg ? -v : v;
+}
 
 int mm_from_mmstr(const char* s, size_t len) {
     if (len == 0) return 0;
@@ -189,7 +208,7 @@ bool split_bowtie(char* line, ssize_t len, BowtieFields* f) {
     f->id = fields[0];
     f->strandf = fields[1];
     f->tname = fields[2];
-    f->pos = atoi(std::string(fields[3]).c_str());
+    f->pos = parse_i32(fields[3]);
     f->readlen = (int32_t)fields[4].size();
     f->mmstr = n > 7 ? fields[7] : std::string_view();
     return true;
@@ -288,7 +307,7 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
             if (strand_code != 0 &&
                 (f.strandf.empty() || f.strandf[0] != (char)strand_code))
                 continue;
-            auto it = names->map.find(std::string(f.tname));
+            auto it = names->map.find(f.tname);
             if (it == names->map.end()) {
                 set_error("unexisting transcript '" + std::string(f.tname) +
                           "' in the bowtie output file");
@@ -340,7 +359,7 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
                 rc = -5;
                 break;
             }
-            auto it = names->map.find(std::string(f1.tname));
+            auto it = names->map.find(f1.tname);
             if (it == names->map.end()) {
                 set_error("unexisting transcript '" + std::string(f1.tname) +
                           "' in the bowtie output file");
@@ -602,10 +621,10 @@ struct SamReader {
                 return -1;
             }
             r->qname.assign(f[0]);
-            r->flag = (uint16_t)atoi(std::string(f[1]).c_str());
+            r->flag = (uint16_t)parse_i32(f[1]);
             *rname = std::string(f[2]);
             r->ref_id = (*rname == "*") ? -1 : 0;
-            r->pos = atoi(std::string(f[3]).c_str()) - 1;
+            r->pos = parse_i32(f[3]) - 1;
             r->l_seq = (f[9] == "*") ? 0 : (int32_t)f[9].size();
             r->has_md = false;
             // the remainder of the line may hold tags
@@ -770,3 +789,79 @@ extern "C" int emsar_ingest_bam(
     return rc < 0 ? rc : 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// hash grouping for index construction
+//
+// The device computes 128-bit window hashes (emsar_tpu/index/kernels.py);
+// grouping equal hashes is a hash-table problem, not a sort — this
+// open-addressing table runs at ~50-100M rows/s on the host, replacing the
+// O(N log^2 N) bitonic device sort for run detection.
+// Outputs: perm = element indices ordered by group (groups contiguous,
+// first-appearance order), run_id = group index per perm position.
+// Returns the number of groups, or -1 on allocation failure.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t emsar_group_rows(const uint64_t* h1, const uint64_t* h2,
+                                    const uint64_t* extra,  // may be null
+                                    int64_t n, int64_t* perm,
+                                    int64_t* run_id) {
+    if (n == 0) return 0;
+    // open addressing, power-of-two capacity >= 2n
+    uint64_t cap = 1;
+    while (cap < (uint64_t)n * 2) cap <<= 1;
+    std::vector<int64_t> slot_group;
+    std::vector<uint64_t> k1(cap), k2(cap), k3;
+    std::vector<int64_t> head;
+    slot_group.assign(cap, -1);
+    if (extra) k3.assign(cap, 0);
+
+    std::vector<int64_t> group_of((size_t)n);
+    std::vector<int64_t> group_count;
+    group_count.reserve((size_t)n / 4 + 16);
+
+    const uint64_t mask = cap - 1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t a = h1[i], b = h2[i];
+        uint64_t c = extra ? extra[i] : 0;
+        // mix the key triple into a probe start
+        uint64_t h = a ^ (b * 0x9E3779B97F4A7C15ULL) ^
+                     (c * 0xC2B2AE3D27D4EB4FULL);
+        h ^= h >> 29;
+        uint64_t s = h & mask;
+        while (true) {
+            int64_t g = slot_group[s];
+            if (g == -1) {
+                int64_t gid = (int64_t)group_count.size();
+                slot_group[s] = gid;
+                k1[s] = a;
+                k2[s] = b;
+                if (extra) k3[s] = c;
+                group_count.push_back(1);
+                group_of[i] = gid;
+                break;
+            }
+            if (k1[s] == a && k2[s] == b && (!extra || k3[s] == c)) {
+                group_of[i] = g;
+                group_count[g]++;
+                break;
+            }
+            s = (s + 1) & mask;
+        }
+    }
+
+    // counting sort into perm (stable: first-appearance group order)
+    int64_t n_groups = (int64_t)group_count.size();
+    std::vector<int64_t> offsets((size_t)n_groups + 1);
+    offsets[0] = 0;
+    for (int64_t g = 0; g < n_groups; g++)
+        offsets[(size_t)g + 1] = offsets[(size_t)g] + group_count[(size_t)g];
+    std::vector<int64_t> cursor(offsets.begin(), offsets.end() - 1);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t g = group_of[(size_t)i];
+        int64_t at = cursor[(size_t)g]++;
+        perm[at] = i;
+        run_id[at] = g;
+    }
+    return n_groups;
+}

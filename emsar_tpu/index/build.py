@@ -242,17 +242,32 @@ def _write_sfa(path: str, positions: np.ndarray) -> None:
             fh.write(f"{i}\t{p}\n")
 
 
+def _resolve_backend(backend: str) -> str:
+    """'auto' resolves to the device-sort backend; the C++-grouping
+    'hybrid' backend is selectable via EMSAR_TPU_BUILD_BACKEND (measured
+    slower on this host: the 2-core box's hash table + the tunnel's d2h
+    cost more than the on-device bitonic sort)."""
+    import os
+    if backend != "auto":
+        return backend
+    env = os.environ.get("EMSAR_TPU_BUILD_BACKEND")
+    if env:
+        return env
+    return "jax"
+
+
 def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
-                   cfg: BuildConfig, backend: str = "jax",
+                   cfg: BuildConfig, backend: str = "auto",
                    sfa_path: Optional[str] = None) -> RshIndex:
     """Build an SE rsh index for a read-length range."""
+    backend = _resolve_backend(backend)
     fl_min, fl_max = readlength_min, readlength_max
     nfl = fl_max - fl_min + 1
     acc = SignatureAccumulator(tx.n_transcripts, nfl)
 
     p16 = pack.pack16(tx.codes)
     bad = pack.bad_prefix(tx.codes)
-    p16_dev = jnp.asarray(p16) if backend == "jax" else p16
+    p16_dev = p16 if backend == "numpy" else jnp.asarray(p16)
     stranded = cfg.strand.stranded
 
     for readlength in range(readlength_min, readlength_max + 1):
@@ -311,9 +326,10 @@ def _se_chunk(acc: SignatureAccumulator, tx: Transcriptome, p16_dev,
 
 
 def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
-                   backend: str = "jax",
+                   backend: str = "auto",
                    sfa_path: Optional[str] = None) -> RshIndex:
     """Build a PE rsh index for one read length and a fragment-length range."""
+    backend = _resolve_backend(backend)
     fl_min = max(cfg.min_fraglength, readlength)
     fl_max = max(cfg.max_fraglength, fl_min)
     nfl = fl_max - fl_min + 1
@@ -321,7 +337,7 @@ def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
 
     p16 = pack.pack16(tx.codes)
     bad = pack.bad_prefix(tx.codes)
-    p16_dev = jnp.asarray(p16) if backend == "jax" else p16
+    p16_dev = p16 if backend == "numpy" else jnp.asarray(p16)
     stranded = cfg.strand.stranded
     rl = readlength
 
@@ -371,7 +387,7 @@ def _pe_expand(acc, tx: Transcriptome, p16_dev, bad, m1pos, m1cluster, rl,
     cluster_starts = np.concatenate(
         [[0], np.flatnonzero(m1cluster[1:] != m1cluster[:-1]) + 1, [n]])
 
-    if backend == "jax":
+    if backend in ("jax", "hybrid"):
         bad_dev = jnp.asarray(bad)
         cuml_dev = jnp.asarray(tx.cuml)
 
@@ -382,7 +398,7 @@ def _pe_expand(acc, tx: Transcriptome, p16_dev, bad, m1pos, m1cluster, rl,
                cluster_starts[bend + 1] - cluster_starts[bstart] <= budget):
             bend += 1
         lo, hi = int(cluster_starts[bstart]), int(cluster_starts[bend])
-        if backend == "jax":
+        if backend in ("jax", "hybrid"):
             _pe_block_dev(acc, tx, p16_dev, bad_dev, cuml_dev,
                           m1pos[lo:hi], m1cluster[lo:hi], d0, nfl, rl,
                           fl_min, stranded, cfg.max_repeat)

@@ -92,6 +92,24 @@ def _hash4(words, mult):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_words", "readlength", "stranded"))
+def _se_hash_jax(p16, positions, mult, flip_base,
+                 n_words: int, readlength: int, stranded: bool):
+    """Hash-only variant: returns ([N,4] uint32 hashes, canon flags) with
+    no device sort — grouping happens in the host C++ hash table."""
+    pos = positions.astype(jnp.int64)
+    fw = _gather_words(p16, pos, n_words, readlength)
+    if stranded:
+        words = fw
+        canon = jnp.ones(pos.shape[0], jnp.int32)
+    else:
+        rc = _gather_words(p16, flip_base - pos, n_words, readlength)
+        cmp, words = _lexmin(fw, rc)
+        canon = (cmp <= 0).astype(jnp.int32)
+    return _hash4(words, mult), canon
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_words", "readlength", "stranded"))
 def _se_group_jax(p16, positions, valid, mult, flip_base,
                   n_words: int, readlength: int, stranded: bool):
     """Group windows by (canonical) sequence.  positions int32 [Np]
@@ -130,6 +148,22 @@ def se_group(p16_dev, positions: np.ndarray, seqlength: int,
         z = np.zeros(0, dtype=np.int32)
         return positions, z, z
     W = pack.n_words(readlength)
+    if backend == "hybrid":
+        # device hashes + host C++ hash-table grouping (no device sort)
+        from ..ingest import native
+
+        Np = _next_pow2(N)
+        ppad = np.zeros(Np, dtype=np.int32)
+        ppad[:N] = positions
+        h, canon = _se_hash_jax(p16_dev, jnp.asarray(ppad),
+                                jnp.asarray(_MULT), seqlength - readlength,
+                                n_words=W, readlength=readlength,
+                                stranded=stranded)
+        h = np.asarray(h)[:N]
+        canon = np.asarray(canon)[:N].astype(bool)
+        h64 = np.ascontiguousarray(h).view(np.uint64)  # [N, 2]
+        perm, run_id, _ = native.group_rows(h64[:, 0], h64[:, 1])
+        return (positions[perm].astype(np.int64), run_id, canon[perm])
     if backend == "jax":
         Np = _next_pow2(N)
         ppad = np.zeros(Np, dtype=np.int32)

@@ -38,7 +38,7 @@ def _build() -> bool:
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return True
     try:
-        subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        subprocess.run(["g++", "-O3", "-std=c++20", "-shared", "-fPIC",
                         _SRC, "-o", _SO + ".tmp", "-lz"],
                        check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
@@ -82,8 +82,37 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.emsar_group_rows.restype = ctypes.c_int64
+        lib.emsar_group_rows.argtypes = [_u64p, _u64p, ctypes.c_void_p,
+                                         ctypes.c_int64, _i64p, _i64p]
         _LIB = lib
         return _LIB
+
+
+def group_rows(h1: np.ndarray, h2: np.ndarray,
+               extra: Optional[np.ndarray] = None):
+    """Group rows by exact (h1, h2[, extra]) equality via the C++
+    open-addressing table.  Returns (perm, run_id, n_groups): ``perm``
+    orders elements so groups are contiguous (first-appearance order),
+    ``run_id`` is the group index per permuted position."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native grouping unavailable")
+    n = len(h1)
+    perm = np.empty(n, dtype=np.int64)
+    run_id = np.empty(n, dtype=np.int64)
+    h1 = np.ascontiguousarray(h1, dtype=np.uint64)
+    h2 = np.ascontiguousarray(h2, dtype=np.uint64)
+    if extra is not None:
+        extra = np.ascontiguousarray(extra, dtype=np.uint64)
+        eptr = extra.ctypes.data_as(ctypes.c_void_p)
+    else:
+        eptr = None
+    ng = lib.emsar_group_rows(h1, h2, eptr, n, perm, run_id)
+    if ng < 0:
+        raise MemoryError("emsar_group_rows failed")
+    return perm, run_id, int(ng)
 
 
 def available() -> bool:
