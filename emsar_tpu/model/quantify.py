@@ -85,9 +85,8 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
             # short host f64 SQUAREM polish (see solver.polish_host_f64)
             from .solver import polish_host_f64
             fpkm = polish_host_f64(problem, fpkm,
-                                   epsilon=max(cfg.epsilon, 1e-7)
-                                   if dtype == np.float32 else cfg.epsilon,
-                                   max_cycles=60)
+                                   epsilon=max(cfg.epsilon, 1e-9),
+                                   max_cycles=200)
         if not np.isfinite(ll):
             ll = _host_loglik(problem, fpkm)
 
@@ -232,8 +231,8 @@ def quantify_samples_batched(index: RshIndex, counts_list, cfg: QuantConfig,
                                edge_tid=e_tid, edge_mult=e_mult,
                                eumaps=E_mat[s], reads=R_mat[s],
                                denom=denom_mat[s])
-            fpkm = polish_host_f64(ps, fpkm, epsilon=max(cfg.epsilon, 1e-7),
-                                   max_cycles=60)
+            fpkm = polish_host_f64(ps, fpkm, epsilon=max(cfg.epsilon, 1e-9),
+                                   max_cycles=200)
         ieuma = np.zeros(ntid)
         np.add.at(ieuma, graph.ct_tids, adjs[s][ct_rep])
         fpkm_rounds = np.broadcast_to(fpkm, (cfg.num_round, ntid)).copy()
