@@ -40,7 +40,7 @@ LONG = ["rsh=", "fasta=", "print_segments", "print_sfa", "print_rsh", "BAM",
         "maxthread=", "header=", "taglen=", "maxfraglen=", "minfraglen=",
         "max_repeat=", "nround=", "epsilon=", "precision=", "delta=",
         "max_niter_mle=", "max_nloop_mle=", "verbose", "no_verbose",
-        "batch_samples", "solver_dtype="]
+        "batch_samples", "solver_dtype=", "solver_mode=", "solver_pallas"]
 
 
 def usage(prog: str) -> None:
@@ -141,6 +141,10 @@ def main(argv=None) -> int:
             cfg.batch_samples = True
         elif o == "--solver_dtype":
             cfg.solver_dtype = a
+        elif o == "--solver_mode":
+            cfg.solver_mode = a
+        elif o == "--solver_pallas":
+            cfg.solver_pallas = True
         elif o in ("-v", "--verbose"):
             cfg.verbose = 2
         elif o in ("-q", "--no_verbose"):

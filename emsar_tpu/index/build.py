@@ -443,7 +443,7 @@ def _pe_block_dev(acc, tx, p16_dev, bad_dev, cuml_dev, pos, cluster, d0, nfl,
     cpad[:B] = cluster
     vpad = np.zeros(Bp, dtype=bool)
     vpad[:B] = True
-    d_s, tid_s, run_id, n_valid = _pe_block_jax(
+    idx_s, run_id, n_valid = _pe_block_jax(
         p16_dev, bad_dev, cuml_dev, jnp.asarray(ppad), jnp.asarray(cpad),
         jnp.asarray(vpad), jnp.asarray(_MULT), d0, tx.borderpos,
         tx.seqlength, n_words=pack.n_words(rl), readlength=rl,
@@ -451,9 +451,12 @@ def _pe_block_dev(acc, tx, p16_dev, bad_dev, cuml_dev, pos, cluster, d0, nfl,
     nv = int(n_valid)
     if nv == 0:
         return
-    d_sorted = np.asarray(d_s)[:nv].astype(np.int64)
-    tid_sorted = np.asarray(tid_s)[:nv]
+    idx_sorted = np.asarray(idx_s)[:nv].astype(np.int64)
     run_id = np.asarray(run_id)[:nv].astype(np.int64)
+    # recover (d, tid) from the flat candidate index on the host
+    d_sorted = d0 + idx_sorted % nfl
+    tid1 = tx.transcript_of(pos, rl)
+    tid_sorted = tid1[idx_sorted // nfl]
     _accumulate_pe_runs(acc, d_sorted, tid_sorted, run_id, rl, fl_min,
                         max_repeat)
 

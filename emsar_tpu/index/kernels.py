@@ -252,20 +252,22 @@ def _pe_block_jax(p16, bad, cuml, positions, cluster, valid_pos, mult,
     m2w = _gather_words(p16, flat_cand, n_words, rl)
     h = _hash4(m2w, mult)
     flat_cluster = jnp.repeat(cluster.astype(jnp.int64), n_d)
-    flat_d = jnp.tile(ds, B)
-    flat_tid = jnp.repeat(tid1.astype(jnp.int32), n_d)
 
-    padkey = jnp.where(flat_valid, jnp.uint32(0), jnp.uint32(1))
+    # cluster key with the invalid flag folded into the top bit; the only
+    # payload is the flat candidate index (host recovers position and d
+    # as idx // n_d and idx % n_d)
     cl32 = (flat_cluster - flat_cluster.min()).astype(jnp.uint32)
-    operands = (padkey, cl32) + tuple(h[:, k] for k in range(4)) + \
-        (flat_d.astype(jnp.int32), flat_tid, flat_valid)
-    out = jax.lax.sort(operands, num_keys=6, is_stable=True)
-    keys = jnp.stack(out[:6], axis=1)
+    clpad = cl32 | jnp.where(flat_valid, jnp.uint32(0),
+                             jnp.uint32(0x80000000))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B * n_d, 1), 0)[:, 0]
+    operands = (clpad,) + tuple(h[:, k] for k in range(4)) + (idx,)
+    out = jax.lax.sort(operands, num_keys=5, is_stable=True)
+    keys = jnp.stack(out[:5], axis=1)
     diff = jnp.any(keys[1:] != keys[:-1], axis=1)
     run_id = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(diff.astype(jnp.int32))])
     n_valid = jnp.sum(flat_valid.astype(jnp.int32))
-    return out[6], out[7], run_id, n_valid
+    return out[5], run_id, n_valid
 
 
 def run_lengths(run_id: np.ndarray) -> np.ndarray:
