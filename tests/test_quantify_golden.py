@@ -157,6 +157,16 @@ def test_pe_reverse_stranded_quantify_golden(tmp_path):
     _compare(ref, ours)
 
 
+def test_delta_flag_golden(tmp_path):
+    """-d 1: the EUMAps 10^delta scaling shifts FPKM by 10^-delta but
+    leaves TPM invariant; both tools must agree."""
+    rng = np.random.default_rng(48)
+    _, rsh, aln = _make_fixture(tmp_path, rng, n_tx=20, readlength=15,
+                                pe=False, fraglen=15, n_reads=1500)
+    ref, ours = _run_both(tmp_path, rsh, aln, pe=False, extra=("-d", "1"))
+    _compare(ref, ours)
+
+
 def test_max_repeat_flag_golden(tmp_path):
     """-k 3: reads with more than 3 alignments are discarded identically."""
     rng = np.random.default_rng(47)
