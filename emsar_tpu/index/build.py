@@ -243,17 +243,17 @@ def _write_sfa(path: str, positions: np.ndarray) -> None:
 
 
 def _resolve_backend(backend: str) -> str:
-    """'auto' resolves to the device-sort backend; the C++-grouping
-    'hybrid' backend is selectable via EMSAR_TPU_BUILD_BACKEND (measured
-    slower on this host: the 2-core box's hash table + the tunnel's d2h
-    cost more than the on-device bitonic sort)."""
+    """'auto' resolves to the fully device-resident builder
+    (``device_build.py``); 'jax' (host-orchestrated device sorts), 'hybrid'
+    (device hash + C++ host grouping) and 'numpy' remain selectable via the
+    argument or EMSAR_TPU_BUILD_BACKEND for differential testing."""
     import os
     if backend != "auto":
         return backend
     env = os.environ.get("EMSAR_TPU_BUILD_BACKEND")
     if env:
         return env
-    return "jax"
+    return "device"
 
 
 def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
@@ -261,6 +261,17 @@ def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
                    sfa_path: Optional[str] = None) -> RshIndex:
     """Build an SE rsh index for a read-length range."""
     backend = _resolve_backend(backend)
+    if backend == "device":
+        from . import device_build
+        if sfa_path is None:
+            try:
+                return device_build.build_se_index_device(
+                    tx, readlength_min, readlength_max, cfg)
+            except (device_build.DeviceBuildUnsupported,
+                    device_build.DeviceBuildOverflow) as e:
+                if cfg.verbose:
+                    print(f"[emsar-build] device builder fallback: {e}")
+        backend = "jax"
     fl_min, fl_max = readlength_min, readlength_max
     nfl = fl_max - fl_min + 1
     acc = SignatureAccumulator(tx.n_transcripts, nfl)
@@ -330,6 +341,16 @@ def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
                    sfa_path: Optional[str] = None) -> RshIndex:
     """Build a PE rsh index for one read length and a fragment-length range."""
     backend = _resolve_backend(backend)
+    if backend == "device":
+        from . import device_build
+        if sfa_path is None:
+            try:
+                return device_build.build_pe_index_device(tx, readlength, cfg)
+            except (device_build.DeviceBuildUnsupported,
+                    device_build.DeviceBuildOverflow) as e:
+                if cfg.verbose:
+                    print(f"[emsar-build] device builder fallback: {e}")
+        backend = "jax"
     fl_min = max(cfg.min_fraglength, readlength)
     fl_max = max(cfg.max_fraglength, fl_min)
     nfl = fl_max - fl_min + 1

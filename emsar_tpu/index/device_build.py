@@ -1,0 +1,789 @@
+"""Device-resident rsh index construction.
+
+The host-orchestrated builders in ``build.py`` move sorted candidate arrays
+device->host every chunk; over this environment's TPU tunnel (~16 MB/s,
+32 ms RTT) that dominated the build.  This module keeps the entire
+construction on the device and transfers only aggregated results:
+
+* a *rank* pass groups every read-length window by sequence once
+  (one 128-bit-hash sort); the rank array R turns every later sequence
+  comparison into an integer compare and every mate2-window key into a
+  contiguous 1-element gather,
+* candidate runs are detected on sorted (cluster, rank) keys; per-run
+  statistics (size, d-range, 3-lane multiset hash of the member tids) come
+  from one fused segmented scan,
+* single-transcript runs are scatter-added into a dense [ntid, nFraglen]
+  device table (reference update_rshbucket_single,
+  src/emsar_functions.c:1514-1537),
+* multi-transcript runs append one (hash, fraglen) record per *run* to a
+  device buffer; identical signatures are aggregated in one final device
+  sort, so the host receives one row per distinct (signature, fraglen)
+  instead of one row per candidate (the reference's rshbucket insert,
+  update_rshbucket :1542-1625, keyed here by a 87-bit multiset hash),
+* the actual tid multisets are recovered from *exemplar* runs: the first
+  run to claim a hash slot in two independent claim tables has its members
+  compacted out (a few KB per build); the host verifies every resolved
+  multiset against its hash.
+
+Orientation / canonicalization (reference strcmp-based rules,
+src/emsar_functions.c:1005, 2863-2869) are evaluated on ranks instead of
+lexicographic string order.  Any total order with exact equality yields the
+same kept-candidate *multiset* per (mate1-seq, mate2-seq) group — flipped
+pairs flip consistently, tids and fragment lengths are flip-invariant — so
+the resulting .rsh is byte-identical (pinned by tests/test_build_golden.py).
+
+Unsupported configurations raise :class:`DeviceBuildUnsupported` and the
+dispatcher in ``build.py`` falls back to the host-orchestrated builder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BuildConfig
+from ..io.fasta import Transcriptome
+from ..io.rsh import RshIndex
+from ..utils.timing import phase
+from . import pack
+from .kernels import _MULT, _hash4
+
+# sentinels
+BIG_RANK = np.int32(0x3FFFFFFF)      # invalid-window rank
+KEY_PAD = np.uint32(0xFFFFFFFF)      # sort key for padding / invalid
+CLAIM_EMPTY = np.uint32(0xFFFFFFFF)
+
+# 3 multiset-hash lanes: identity = (h1, h2, h3>>9) = 87 bits; lane 3's low
+# 9 bits carry the fraglen index.  Collision risk across ~1e6 signatures is
+# ~2^-40; the host verifies every *resolved* exemplar against its hash.
+_LANE_MUL = np.uint32([0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D])
+_LANE_ADD = np.uint32([0x27D4EB2F, 0x165667B1, 0x9E3779B9])
+MAX_NFL_PACKED = 512  # fraglen bits packed into lane 3
+
+
+class DeviceBuildUnsupported(RuntimeError):
+    """Configuration the device-resident builder does not support (yet)."""
+
+
+class DeviceBuildOverflow(RuntimeError):
+    """A fixed-capacity device buffer overflowed; retry with other backend."""
+
+
+def _mix32_np(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint32(16)
+        x *= np.uint32(0x7FEB352D)
+        x ^= x >> np.uint32(15)
+        x *= np.uint32(0x846CA68B)
+        x ^= x >> np.uint32(16)
+    return x
+
+
+def sig_lanes_np(tids: np.ndarray) -> np.ndarray:
+    """[N, 3] uint32 per-tid hash lanes (host dual of ``_sig_lanes``)."""
+    t = np.asarray(tids, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        return np.stack([_mix32_np(t * m + a)
+                         for m, a in zip(_LANE_MUL, _LANE_ADD)], axis=1)
+
+
+def multiset_hash_np(tids: np.ndarray) -> Tuple[int, int, int]:
+    """(h1, h2, h3) of a tid multiset — order-independent sums."""
+    lanes = sig_lanes_np(tids)
+    with np.errstate(over="ignore"):
+        s = lanes.sum(axis=0, dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+    return int(s[0]), int(s[1]), int(s[2])
+
+
+def _mix32(x):
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _sig_lanes(tids):
+    t = tids.astype(jnp.uint32)
+    return [_mix32(t * jnp.uint32(m) + jnp.uint32(a))
+            for m, a in zip(_LANE_MUL, _LANE_ADD)]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def _pad_to(n: int, q: int) -> int:
+    return ((n + q - 1) // q) * q
+
+
+# --------------------------------------------------------------------------
+# segmented scans
+# --------------------------------------------------------------------------
+
+
+def _seg_or_fwd(start, val):
+    """Inclusive forward segmented OR; segments reset at ``start``."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va | vb)
+    _, out = jax.lax.associative_scan(comb, (start, val))
+    return out
+
+
+def _seg_stats_rev(start, cnt, dmin, dmax, s1, s2, s3):
+    """Per-element aggregates over [i .. run_end] (so run starts hold the
+    full-run stats).  ``start`` flags run starts in sorted order."""
+    last = jnp.concatenate([start[1:], jnp.ones(1, dtype=bool)])
+
+    def comb(a, b):
+        fa, ca, mina, maxa, x1, x2, x3 = a
+        fb, cb, minb, maxb, y1, y2, y3 = b
+        f = fa | fb
+        return (f,
+                jnp.where(fb, cb, ca + cb),
+                jnp.where(fb, minb, jnp.minimum(mina, minb)),
+                jnp.where(fb, maxb, jnp.maximum(maxa, maxb)),
+                jnp.where(fb, y1, x1 + y1),
+                jnp.where(fb, y2, x2 + y2),
+                jnp.where(fb, y3, x3 + y3))
+
+    rev = lambda x: jnp.flip(x, axis=0)
+    out = jax.lax.associative_scan(
+        comb, (rev(last), rev(cnt), rev(dmin), rev(dmax),
+               rev(s1), rev(s2), rev(s3)))
+    return tuple(rev(x) for x in out[1:])
+
+
+# --------------------------------------------------------------------------
+# device reference model
+# --------------------------------------------------------------------------
+
+
+class DeviceRef:
+    """Device-resident transcriptome: packed 2-bit codes -> P16 key array,
+    non-ACGT prefix counts, cuml.  Upload is 2.25 bits/base (the tunnel is
+    the bottleneck, ~22 MB/s h2d)."""
+
+    def __init__(self, tx: Transcriptome):
+        self.tx = tx
+        L = int(tx.seqlength) + 1
+        self.L = L
+        Lp = _pad_to(L + 64, 256)
+        self.Lp = Lp
+        codes = tx.codes
+        packed = np.zeros(Lp // 4, dtype=np.uint8)
+        c = np.zeros(Lp, dtype=np.uint8)
+        c[:L] = codes & 3
+        packed |= c[0::4] << 6
+        packed |= c[1::4] << 4
+        packed |= c[2::4] << 2
+        packed |= c[3::4]
+        badbits = np.zeros(Lp, dtype=bool)
+        badbits[:L] = codes >= 4
+        badbits[L:] = True
+        self._packed = jnp.asarray(packed)
+        self._badbits = jnp.asarray(np.packbits(badbits))
+        self.cuml = jnp.asarray(tx.cuml.astype(np.int32))
+        self.p16, self.badp = _unpack_ref(self._packed, self._badbits, Lp)
+
+    def t32(self, readlength: int):
+        """tid of every window-start position (reference sf_i,
+        src/emsar_functions.c:2619-2627), device int32 [Lp]."""
+        return _t32_kernel(self.cuml, self.Lp, int(self.tx.borderpos),
+                           int(self.tx.seqlength), readlength)
+
+
+@functools.partial(jax.jit, static_argnames=("Lp",))
+def _unpack_ref(packed, badbits, Lp: int):
+    i = jnp.arange(Lp, dtype=jnp.int32)
+    byte = packed[i >> 2]
+    shift = ((3 - (i & 3)) * 2).astype(jnp.uint8)
+    codes = (byte >> shift) & 3
+    bb = (badbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1
+    badp = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(bb.astype(jnp.int32))])
+    # P16[k] = 2-bit codes of bases [k, k+16), big-endian
+    p16 = jnp.zeros(Lp, dtype=jnp.uint32)
+    cu = codes.astype(jnp.uint32)
+    for j in range(16):
+        shifted = jnp.roll(cu, -j)  # value at k+j lands at k
+        p16 = p16 | (shifted << jnp.uint32(2 * (15 - j)))
+    return p16, badp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("Lp", "borderpos", "seqlength",
+                                    "readlength"))
+def _t32_kernel(cuml, Lp: int, borderpos: int, seqlength: int,
+                readlength: int):
+    k = jnp.arange(Lp, dtype=jnp.int32)
+    flipped = jnp.where(k + readlength > borderpos,
+                        seqlength - k - readlength, k)
+    flipped = jnp.clip(flipped, 0, None)
+    return (jnp.searchsorted(cuml, flipped, side="right") - 1
+            ).astype(jnp.int32)
+
+
+def _window_hash(p16, positions, readlength: int):
+    """[N, 4] uint32 window hashes (static readlength)."""
+    W = pack.n_words(readlength)
+    cols = []
+    for w in range(W):
+        cols.append(p16[positions + 16 * w])
+    words = jnp.stack(cols, axis=1)
+    rem = readlength - 16 * (W - 1)
+    if rem < 16:
+        words = words.at[:, W - 1].set(
+            words[:, W - 1] >> jnp.uint32(2 * (16 - rem)))
+    return _hash4(words, jnp.asarray(_MULT))
+
+# --------------------------------------------------------------------------
+# rank pass (PE): group every window position by exact sequence
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Npad", "n_fw", "two_halves", "borderpos",
+                              "seqlength", "readlength", "Lp"))
+def _rank_kernel(p16, badp, Npad: int, n_fw: int, two_halves: bool,
+                 borderpos: int, seqlength: int, readlength: int, Lp: int):
+    """Sort all window positions by 128-bit window hash; returns
+    (pos_sorted, rank_sorted, R, max_cluster, n_valid).
+
+    Replaces the reference's mate1 suffix sort + mark_sfa_se
+    (src/emsar_functions.c:1108-1149, 1300-1306): rank == cluster id.
+    """
+    rl = readlength
+    i = jnp.arange(Npad, dtype=jnp.int32)
+    n_total = n_fw * 2 if two_halves else n_fw
+    if two_halves:
+        pos = jnp.where(i < n_fw, i, seqlength - rl - (i - n_fw))
+    else:
+        pos = i
+    inb = i < n_total
+    posc = jnp.clip(pos, 0, Lp - rl - 17)
+    valid = inb & ((badp[posc + rl] - badp[posc]) == 0)
+    h = _window_hash(p16, posc, rl)
+    keyv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort((keyv,) + tuple(h[:, k] for k in range(4)) + (pos,),
+                       num_keys=5, is_stable=False)
+    kv = out[0]
+    keys = jnp.stack(out[1:5], axis=1)
+    spos = out[5]
+    diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    rank = jnp.cumsum(start.astype(jnp.int32)) - 1
+    vsorted = kv == 0
+    rank = jnp.where(vsorted, rank, BIG_RANK)
+    R = jnp.full(Lp, BIG_RANK, dtype=jnp.int32)
+    R = R.at[jnp.where(vsorted, spos, Lp)].set(rank, mode="drop")
+    # cluster-size maximum (for the chunk overlap V)
+    ones = jnp.ones(Npad, dtype=jnp.int32)
+    z = jnp.zeros(Npad, dtype=jnp.uint32)
+    cntr, _, _, _, _, _ = _seg_stats_rev(start, ones, ones, ones, z, z, z)
+    max_cluster = jnp.max(jnp.where(start & vsorted, cntr, 0))
+    n_valid = jnp.sum(vsorted.astype(jnp.int32))
+    return spos, rank, R, max_cluster, n_valid
+
+
+# --------------------------------------------------------------------------
+# shared post-sort accumulation (runs -> dense singles + signature records)
+# --------------------------------------------------------------------------
+
+
+def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
+    """Write ``arrays`` (already compacted to the front, ``count`` real rows,
+    each of static length >= cap-block) into ``bufs`` at offset ``n`` via
+    dynamic_update_slice of a fixed-size block."""
+    outs = []
+    nc = jnp.clip(n, 0, None)
+    for a, b in zip(arrays, bufs):
+        outs.append(jax.lax.dynamic_update_slice(b, a, (nc,)))
+    newn = n + jnp.minimum(count, a.shape[0])
+    flags = flags.at[flag_bit].max(
+        jnp.where((count > a.shape[0]) | (newn > cap - a.shape[0]),
+                  jnp.int32(1), jnp.int32(0)))
+    return outs, newn, flags
+
+
+def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
+                         nfl: int, max_repeat: int, U: int, C2: int):
+    """From sorted runs to: dense single-EUMA scatter, per-run signature
+    records, exemplar-member extraction.  All arrays length E (sorted)."""
+    E = start.shape[0]
+    claim_mask = state["claim1"].shape[0] - 1
+    i = jnp.arange(E, dtype=jnp.int32)
+    l1, l2, l3 = _sig_lanes(tid)
+    ones = jnp.ones(E, dtype=jnp.int32)
+    cntr, dminr, dmaxr, s1, s2, s3 = _seg_stats_rev(
+        start, ones, d_ind, d_ind, l1, l2, l3)
+
+    single = start & validrow & (cntr == 1)
+    dense = state["dense"].at[
+        jnp.where(single, tid * nfl + d_ind, state["dense"].shape[0])
+    ].add(1, mode="drop")
+
+    rec = (start & validrow & (cntr > 1) & (cntr < max_repeat)
+           & (dminr == dmaxr))
+    h3fl = (s3 & jnp.uint32(0xFFFFFE00)) | dminr.astype(jnp.uint32)
+    sg = chunk_base + i
+    sgu = sg.astype(jnp.uint32)
+
+    # claim tables: first run (globally, by start-id order) to claim a slot
+    # becomes the signature's exemplar
+    slot1 = jnp.where(rec, (s1 & jnp.uint32(claim_mask)).astype(jnp.int32),
+                      claim_mask + 1)
+    slot2 = jnp.where(rec, (s2 & jnp.uint32(claim_mask)).astype(jnp.int32),
+                      claim_mask + 1)
+    claim1 = state["claim1"].at[slot1].min(sgu, mode="drop")
+    claim2 = state["claim2"].at[slot2].min(sgu, mode="drop")
+    win_start = rec & ((claim1[jnp.clip(slot1, 0, claim_mask)] == sgu) |
+                       (claim2[jnp.clip(slot2, 0, claim_mask)] == sgu))
+
+    # append signature records (one per multi run)
+    recinv = jnp.where(rec, jnp.uint32(0), jnp.uint32(1))
+    ro = jax.lax.sort((recinv, s1, s2, h3fl), num_keys=1, is_stable=False)
+    rec_cnt = jnp.sum(rec.astype(jnp.int32))
+    Ue = min(U, E)
+    tab_arrays = [jnp.where(jnp.arange(Ue, dtype=jnp.int32) < rec_cnt,
+                            jnp.uint32(0), jnp.uint32(1))] + \
+                 [o[:Ue] for o in ro[1:]]
+    tab_bufs = [state["tab_flag"], state["tab_h1"], state["tab_h2"],
+                state["tab_h3fl"]]
+    tabs, tab_n, flags = _append_block(tab_arrays, tab_bufs, state["tab_n"],
+                                       rec_cnt, state["tab_flag"].shape[0],
+                                       state["flags"], 0)
+
+    # extract exemplar members (elements of winner runs)
+    win = _seg_or_fwd(start, win_start) & validrow
+    my_start = jax.lax.cummax(jnp.where(start, i, -1))
+    sg_run = chunk_base + my_start
+    wininv = jnp.where(win, jnp.uint32(0), jnp.uint32(1))
+    mo = jax.lax.sort((wininv, sg_run, tid), num_keys=1, is_stable=False)
+    mem_cnt = jnp.sum(win.astype(jnp.int32))
+    C2e = min(C2, E)
+    mem_arrays = [mo[1][:C2e], mo[2][:C2e]]
+    mems, mem_n, flags = _append_block(mem_arrays,
+                                       [state["mem_sg"], state["mem_tid"]],
+                                       state["mem_n"], mem_cnt,
+                                       state["mem_sg"].shape[0], flags, 1)
+
+    return dict(dense=dense, tab_flag=tabs[0], tab_h1=tabs[1],
+                tab_h2=tabs[2], tab_h3fl=tabs[3], tab_n=tab_n,
+                mem_sg=mems[0], mem_tid=mems[1], mem_n=mem_n,
+                claim1=claim1, claim2=claim2, flags=flags)
+
+
+# --------------------------------------------------------------------------
+# PE candidate-expansion chunk kernel
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "V", "nfl", "max_repeat", "U", "C2", "unstranded",
+                     "borderpos", "seqlength", "readlength", "Lp"),
+    donate_argnums=(0,))
+def _pe_chunk(state, RW, RF32, T32, m1pos_ext, m1rank_ext, start_idx,
+              chunk_base, d0,
+              M: int, V: int, nfl: int, max_repeat: int, U: int, C2: int,
+              unstranded: bool, borderpos: int, seqlength: int,
+              readlength: int, Lp: int):
+    """One chunk of mate1 clusters: enumerate (member, d) candidates, group
+    by (cluster, mate2-rank), accumulate runs.
+
+    Reference semantics: process_mate1_cluster_by_mate_3 +
+    construct_rshbucket_PE_3 (src/emsar_functions.c:2823-2934, 1902-1974).
+    """
+    rl = readlength
+    MV = M + V
+    j = jnp.arange(MV, dtype=jnp.int32)
+    mpos = jax.lax.dynamic_slice(m1pos_ext, (start_idx,), (MV,))
+    mrank = jax.lax.dynamic_slice(m1rank_ext, (start_idx,), (MV,))
+    prevrank = jax.lax.dynamic_slice(m1rank_ext, (start_idx - 1,), (MV,))
+    cstart = mrank != prevrank
+    mvalid = mrank < BIG_RANK
+    owned = _seg_or_fwd(cstart, cstart & (j < M)) & mvalid
+
+    mposc = jnp.clip(mpos, 0, Lp - nfl - rl - 2)
+    base = mposc + d0
+    dd = jnp.arange(nfl, dtype=jnp.int32)
+    cand = mpos[:, None] + d0 + dd[None, :]
+    rw = jax.vmap(lambda b: jax.lax.dynamic_slice(RW, (b,), (nfl,)))(base)
+    in_range = cand <= seqlength - rl
+    border_ok = ~((mpos[:, None] < borderpos) & (cand > borderpos))
+    # same transcript: a large d can jump the '@' separator entirely into
+    # the next transcript, so window validity alone is not enough
+    tidm = T32[mposc]
+    t2 = jax.vmap(lambda b: jax.lax.dynamic_slice(T32, (b,), (nfl,)))(base)
+    cvalid = (owned[:, None] & in_range & border_ok & (rw != KEY_PAD)
+              & (t2 == tidm[:, None]))
+
+    if unstranded:
+        # canonical pair orientation on ranks (reference :2863-2869)
+        rf = jax.vmap(lambda b: jax.lax.dynamic_slice(RF32, (b,), (nfl,))
+                      )(base)
+        rfp = RF32[mposc]
+        cmp1 = jnp.sign(mrank[:, None] - rf).astype(jnp.int8)
+        cmp2 = jnp.sign(rw.astype(jnp.int32) - rfp[:, None]).astype(jnp.int8)
+        cmp = jnp.where(cmp1 != 0, cmp1, cmp2)
+        keep = jnp.where(mpos[:, None] < borderpos, cmp <= 0, cmp < 0)
+        cvalid = cvalid & keep
+
+    ckey = jnp.where(cvalid, jnp.broadcast_to(
+        mrank.astype(jnp.uint32)[:, None], (MV, nfl)), KEY_PAD).reshape(-1)
+    rkey = jnp.where(cvalid, rw, KEY_PAD).reshape(-1)
+    E = MV * nfl
+    idx = jnp.arange(E, dtype=jnp.int32)
+    tid = jnp.broadcast_to(tidm[:, None], (MV, nfl)).reshape(-1)
+    sck, srk, sidx, stid = jax.lax.sort((ckey, rkey, idx, tid), num_keys=2,
+                                        is_stable=False)
+    startf = jnp.concatenate([jnp.ones(1, bool),
+                              (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
+    validrow = sck != KEY_PAD
+    d_ind = sidx % nfl
+    return _postsort_accumulate(state, startf, validrow, d_ind, stid,
+                                chunk_base, nfl, max_repeat, U, C2)
+
+
+# --------------------------------------------------------------------------
+# SE kernel (one read length per launch)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Npad", "nfl", "max_repeat", "U", "C2", "unstranded",
+                     "borderpos", "seqlength", "readlength", "Lp"),
+    donate_argnums=(0,))
+def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
+               Npad: int, nfl: int, max_repeat: int, U: int, C2: int,
+               unstranded: bool, borderpos: int, seqlength: int,
+               readlength: int, Lp: int):
+    """All windows of one read length, grouped by canonical sequence.
+
+    Reference semantics: initialize_suffixarray_{NS_5,SS_4} + sort +
+    construct_rshbucket_2 (src/emsar_functions.c:949-1038, 1758-1819)."""
+    rl = readlength
+    i = jnp.arange(Npad, dtype=jnp.int32)
+    posc = jnp.clip(i, 0, Lp - rl - 17)
+    valid = (i <= borderpos - rl) & ((badp[posc + rl] - badp[posc]) == 0)
+    if unstranded:
+        # canonical representative: lexicographic min of fw / rc window
+        W = pack.n_words(rl)
+        fw_cols, rc_cols = [], []
+        rcpos = jnp.clip(seqlength - posc - rl, 0, Lp - rl - 17)
+        for w in range(W):
+            fw_cols.append(p16[posc + 16 * w])
+            rc_cols.append(p16[rcpos + 16 * w])
+        fw = jnp.stack(fw_cols, axis=1)
+        rc = jnp.stack(rc_cols, axis=1)
+        rem = rl - 16 * (W - 1)
+        if rem < 16:
+            sh = jnp.uint32(2 * (16 - rem))
+            fw = fw.at[:, W - 1].set(fw[:, W - 1] >> sh)
+            rc = rc.at[:, W - 1].set(rc[:, W - 1] >> sh)
+        cmp = jnp.zeros(Npad, jnp.int8)
+        for w in range(W):
+            c = (fw[:, w] > rc[:, w]).astype(jnp.int8) - \
+                (fw[:, w] < rc[:, w]).astype(jnp.int8)
+            cmp = jnp.where(cmp == 0, c, cmp)
+        words = jnp.where((cmp <= 0)[:, None], fw, rc)
+        h = _hash4(words, jnp.asarray(_MULT))
+    else:
+        h = _window_hash(p16, posc, rl)
+    tid = (jnp.searchsorted(cuml, posc, side="right") - 1).astype(jnp.int32)
+    keyv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort((keyv,) + tuple(h[:, k] for k in range(4)) + (tid,),
+                       num_keys=5, is_stable=False)
+    kv = out[0]
+    keys = jnp.stack(out[1:5], axis=1)
+    stid = out[5]
+    diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
+    startf = jnp.concatenate([jnp.ones(1, bool), diff])
+    validrow = kv == 0
+    d_ind = jnp.full(Npad, fl_ind, dtype=jnp.int32)
+    return _postsort_accumulate(state, startf, validrow, d_ind, stid,
+                                chunk_base, nfl, max_repeat, U, C2)
+
+
+# --------------------------------------------------------------------------
+# final on-device aggregation of signature records
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("UCAP",), donate_argnums=(0, 1, 2, 3))
+def _tab_finalize(tab_flag, tab_h1, tab_h2, tab_h3fl, UCAP: int):
+    """Aggregate per-run records into unique (signature-hash, fraglen)
+    counts; returns (h1, h2, h3fl, count)[UCAP] + n_unique."""
+    T = tab_flag.shape[0]
+    o = jax.lax.sort((tab_flag, tab_h1, tab_h2, tab_h3fl), num_keys=4,
+                     is_stable=False)
+    fl, h1, h2, h3 = o
+    diff = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | \
+        (h3[1:] != h3[:-1]) | (fl[1:] != fl[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    ones = jnp.ones(T, dtype=jnp.int32)
+    z = jnp.zeros(T, dtype=jnp.uint32)
+    cntr, _, _, _, _, _ = _seg_stats_rev(start, ones, ones, ones, z, z, z)
+    head = start & (fl == 0)
+    headinv = jnp.where(head, jnp.uint32(0), jnp.uint32(1))
+    o2 = jax.lax.sort((headinv, h1, h2, h3, cntr), num_keys=1,
+                      is_stable=False)
+    n_unique = jnp.sum(head.astype(jnp.int32))
+    return (o2[1][:UCAP], o2[2][:UCAP], o2[3][:UCAP], o2[4][:UCAP],
+            n_unique)
+
+# --------------------------------------------------------------------------
+# host orchestration
+# --------------------------------------------------------------------------
+
+
+def _caps(ncand_hint: int, ntid: int, nfl: int) -> Dict[str, int]:
+    n = max(int(ncand_hint), 1)
+    return dict(
+        TABCAP=min(_next_pow2(n + 1024), 3 << 24),
+        MEMCAP=min(_next_pow2(2 * n + 64), 1 << 20),
+        CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 24),
+        UCAP=min(_next_pow2(n + 64), 1 << 21),
+    )
+
+
+def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
+    return dict(
+        dense=jnp.zeros(ntid * nfl, jnp.int32),
+        tab_flag=jnp.ones(caps["TABCAP"], jnp.uint32),
+        tab_h1=jnp.zeros(caps["TABCAP"], jnp.uint32),
+        tab_h2=jnp.zeros(caps["TABCAP"], jnp.uint32),
+        tab_h3fl=jnp.zeros(caps["TABCAP"], jnp.uint32),
+        tab_n=jnp.zeros((), jnp.int32),
+        mem_sg=jnp.zeros(caps["MEMCAP"], jnp.int32),
+        mem_tid=jnp.zeros(caps["MEMCAP"], jnp.int32),
+        mem_n=jnp.zeros((), jnp.int32),
+        claim1=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
+        claim2=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
+        flags=jnp.zeros(4, jnp.int32),
+    )
+
+
+def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
+                   readlength_hdr: int, fl_min: int, fl_max: int
+                   ) -> RshIndex:
+    """Fetch the aggregated device results and assemble the RshIndex."""
+    uh1, uh2, uh3fl, ucnt, n_unique = _tab_finalize(
+        state["tab_flag"], state["tab_h1"], state["tab_h2"],
+        state["tab_h3fl"], UCAP=caps["UCAP"])
+    flags = np.asarray(state["flags"])
+    if flags.any():
+        raise DeviceBuildOverflow(f"device buffer overflow (flags={flags})")
+    rows = int(np.asarray(n_unique))
+    if rows > caps["UCAP"]:
+        raise DeviceBuildOverflow(
+            f"unique (signature, fraglen) rows {rows} > UCAP {caps['UCAP']}")
+    uh1 = np.asarray(uh1)[:rows]
+    uh2 = np.asarray(uh2)[:rows]
+    uh3fl = np.asarray(uh3fl)[:rows]
+    ucnt = np.asarray(ucnt)[:rows]
+    mem_n = int(np.asarray(state["mem_n"]))
+    mem_sg = np.asarray(state["mem_sg"])[:mem_n]
+    mem_tid = np.asarray(state["mem_tid"])[:mem_n]
+    dense = np.asarray(state["dense"]).reshape(tx.n_transcripts, nfl)
+
+    # resolve exemplar multisets, verify against their hashes
+    resolved: Dict[Tuple[int, int, int], np.ndarray] = {}
+    if mem_n:
+        order = np.argsort(mem_sg, kind="stable")
+        sg_s = mem_sg[order]
+        tid_s = mem_tid[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(sg_s[1:] != sg_s[:-1]) + 1, [mem_n]])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            tids = np.sort(tid_s[a:b]).astype(np.int32)
+            h1, h2, h3 = multiset_hash_np(tids)
+            key = (h1, h2, h3 & 0xFFFFFE00)
+            prev = resolved.get(key)
+            if prev is not None:
+                if len(prev) != len(tids) or (prev != tids).any():
+                    raise DeviceBuildOverflow(
+                        "multiset hash collision between exemplars")
+            else:
+                resolved[key] = tids
+
+    # group unique rows by signature
+    fl_ind = (uh3fl & np.uint32(0x1FF)).astype(np.int64)
+    k3 = uh3fl & np.uint32(0xFFFFFE00)
+    sig_of_row: Dict[Tuple[int, int, int], int] = {}
+    sig_list: List[np.ndarray] = []
+    row_sig = np.empty(rows, dtype=np.int64)
+    for r in range(rows):
+        key = (int(uh1[r]), int(uh2[r]), int(k3[r]))
+        s = sig_of_row.get(key)
+        if s is None:
+            tids = resolved.get(key)
+            if tids is None:
+                raise DeviceBuildOverflow(
+                    "unresolved signature (claim-table collision)")
+            s = len(sig_list)
+            sig_of_row[key] = s
+            sig_list.append(tids)
+        row_sig[r] = s
+
+    n_sig = len(sig_list)
+    euma = np.zeros((n_sig, nfl), dtype=np.int64)
+    np.add.at(euma, (row_sig, fl_ind), ucnt.astype(np.int64))
+
+    # canonical (size, tid tuple) order (reference print_rsh row order)
+    canon = sorted(range(n_sig),
+                   key=lambda s: (len(sig_list[s]), tuple(sig_list[s])))
+    euma = euma[canon] if n_sig else euma
+    sizes = np.array([len(sig_list[s]) for s in canon], dtype=np.int64)
+    sig_offsets = np.zeros(n_sig + 1, dtype=np.int64)
+    np.cumsum(sizes, out=sig_offsets[1:])
+    sig_tids = (np.concatenate([sig_list[s] for s in canon])
+                if n_sig else np.empty(0, np.int32))
+
+    return RshIndex(names=list(tx.names), readlength=readlength_hdr,
+                    min_fraglength=fl_min, max_fraglength=fl_max,
+                    single_euma=dense.astype(np.int64),
+                    sig_offsets=sig_offsets,
+                    sig_tids=sig_tids.astype(np.int32),
+                    multi_euma=euma)
+
+
+def build_pe_index_device(tx: Transcriptome, readlength: int,
+                          cfg: BuildConfig) -> RshIndex:
+    """PE rsh index, fully device-resident (see module docstring)."""
+    rl = int(readlength)
+    fl_min = max(cfg.min_fraglength, rl)
+    fl_max = max(cfg.max_fraglength, fl_min)
+    nfl = fl_max - fl_min + 1
+    if nfl >= MAX_NFL_PACKED:
+        raise DeviceBuildUnsupported(f"nFraglen {nfl} >= {MAX_NFL_PACKED}")
+    if rl > 1024:
+        raise DeviceBuildUnsupported("readlength > 1024")
+    stranded = cfg.strand.stranded
+    n_fw = int(tx.borderpos) - rl + 1
+    if n_fw <= 0:
+        raise DeviceBuildUnsupported("read length exceeds transcriptome")
+    two = not stranded
+    Npos = n_fw * (2 if two else 1)
+    Npad = _next_pow2(Npos)
+    if Npad > getattr(cfg, "device_sort_limit", 1 << 26):
+        raise DeviceBuildUnsupported(f"{Npos} windows > device sort limit")
+
+    with phase("PE dev: reference upload", cfg.verbose):
+        ref = DeviceRef(tx)
+    with phase("PE dev: rank pass", cfg.verbose):
+        spos, rank, R, maxcl, nvalid = _rank_kernel(
+            ref.p16, ref.badp, Npad=Npad, n_fw=n_fw, two_halves=two,
+            borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
+            readlength=rl, Lp=ref.Lp)
+        scal = np.asarray(jnp.stack([maxcl, nvalid]))
+        maxcl_i, nvalid_i = int(scal[0]), int(scal[1])
+
+    V = _next_pow2(max(maxcl_i + 1, 8))
+    if V * nfl * 2 > max(int(cfg.pe_chunk_candidates), 4 * nfl):
+        raise DeviceBuildUnsupported(
+            f"mate1 cluster of {maxcl_i} members needs a larger chunk "
+            f"budget than pe_chunk_candidates={cfg.pe_chunk_candidates}")
+    # chunk budget scales down to the problem so tiny builds stay tiny
+    e_target = max(min(int(cfg.pe_chunk_candidates),
+                       _next_pow2(Npos * nfl)),
+                   2 * V * nfl, 4 * nfl)
+    MV = max(2 * V, e_target // nfl)
+    M = MV - V
+    E = MV * nfl
+    n_chunks = max((nvalid_i + M - 1) // M, 1)
+    if n_chunks * E >= 2**31 - E:
+        raise DeviceBuildUnsupported("candidate ids exceed int32")
+
+    with phase("PE dev: prep", cfg.verbose):
+        m1pos_ext = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), spos.astype(jnp.int32),
+             jnp.zeros(MV + 1, jnp.int32)])
+        m1rank_ext = jnp.concatenate(
+            [jnp.full(1, -1, jnp.int32), rank,
+             jnp.full(MV + 1, BIG_RANK, jnp.int32)])
+        RW = jnp.where(R == BIG_RANK, KEY_PAD, R.astype(jnp.uint32))
+        if two:
+            iw = jnp.arange(ref.Lp, dtype=jnp.int32)
+            src = jnp.clip(int(tx.seqlength) - rl - iw, 0, ref.Lp - 1)
+            RF32 = jnp.where(iw <= int(tx.seqlength) - rl, R[src], BIG_RANK)
+        else:
+            RF32 = R
+        T32 = ref.t32(rl)
+        caps = _caps(Npos * nfl, tx.n_transcripts, nfl)
+        state = _init_state(tx.n_transcripts, nfl, caps)
+
+    with phase("PE dev: expansion", cfg.verbose):
+        d0 = fl_min - rl
+        base = 0
+        for k in range(n_chunks):
+            state = _pe_chunk(
+                state, RW, RF32, T32, m1pos_ext, m1rank_ext,
+                jnp.int32(1 + k * M), jnp.int32(base), jnp.int32(d0),
+                M=M, V=V, nfl=nfl, max_repeat=int(cfg.max_repeat),
+                U=min(1 << 22, E, caps["TABCAP"] // 2),
+                C2=min(1 << 17, E, caps["MEMCAP"] // 2), unstranded=two,
+                borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
+                readlength=rl, Lp=ref.Lp)
+            base += E
+
+    with phase("PE dev: finalize", cfg.verbose):
+        return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max)
+
+
+def build_se_index_device(tx: Transcriptome, readlength_min: int,
+                          readlength_max: int, cfg: BuildConfig) -> RshIndex:
+    """SE rsh index over a read-length range, fully device-resident."""
+    lmin, lmax = int(readlength_min), int(readlength_max)
+    nfl = lmax - lmin + 1
+    if nfl >= MAX_NFL_PACKED:
+        raise DeviceBuildUnsupported("read-length range too wide")
+    if lmax > 1024:
+        raise DeviceBuildUnsupported("readlength > 1024")
+    n0 = int(tx.borderpos) - lmin + 1
+    if n0 <= 0:
+        raise DeviceBuildUnsupported("read length exceeds transcriptome")
+    Npad = _next_pow2(n0)
+    if Npad > getattr(cfg, "device_sort_limit", 1 << 26):
+        raise DeviceBuildUnsupported("too many windows for one device sort")
+    if (nfl + 1) * Npad >= 2**31 - 1:
+        raise DeviceBuildUnsupported("window ids exceed int32")
+
+    with phase("SE dev: reference upload", cfg.verbose):
+        ref = DeviceRef(tx)
+    caps = _caps(sum(int(tx.borderpos) - l + 1
+                     for l in range(lmin, lmax + 1)),
+                 tx.n_transcripts, nfl)
+    state = _init_state(tx.n_transcripts, nfl, caps)
+    unstranded = not cfg.strand.stranded
+
+    base = 0
+    for l in range(lmin, lmax + 1):
+        if int(tx.borderpos) - l + 1 <= 0:
+            continue
+        with phase(f"SE dev: l{l}", cfg.verbose):
+            state = _se_launch(
+                state, ref.p16, ref.badp, ref.cuml, jnp.int32(base),
+                jnp.int32(l - lmin), Npad=Npad, nfl=nfl,
+                max_repeat=int(cfg.max_repeat),
+                U=min(1 << 22, Npad, caps["TABCAP"] // 2),
+                C2=min(1 << 17, Npad, caps["MEMCAP"] // 2),
+                unstranded=unstranded,
+                borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
+                readlength=l, Lp=ref.Lp)
+        base += Npad
+
+    with phase("SE dev: finalize", cfg.verbose):
+        return _finalize_host(tx, state, caps, nfl, -1, lmin, lmax)

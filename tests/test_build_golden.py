@@ -24,7 +24,7 @@ def _diff(path_a, path_b):
 
 
 def _run_case(tmp_path, rng, n, readlength, pe, strand="ns",
-              shared_frac=0.6, n_frac=0.0, backend="jax",
+              shared_frac=0.6, n_frac=0.0, backend="device",
               min_frag=1, max_frag=None, extra_ref=None):
     names, seqs = random_transcriptome(rng, n, min_len=25, max_len=250,
                                        shared_frac=shared_frac, n_frac=n_frac)
@@ -95,6 +95,16 @@ def test_pe_unstranded_with_N_golden(tmp_path):
 def test_se_numpy_backend_golden(tmp_path):
     _run_case(tmp_path, np.random.default_rng(17), n=20, readlength=20,
               pe=False, backend="numpy")
+
+
+def test_se_hostjax_backend_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(21), n=25, readlength=20,
+              pe=False, backend="jax")
+
+
+def test_pe_hostjax_backend_golden(tmp_path):
+    _run_case(tmp_path, np.random.default_rng(22), n=12, readlength=18,
+              pe=True, max_frag=55, backend="jax")
 
 
 def test_pe_numpy_backend_golden(tmp_path):
