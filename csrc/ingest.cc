@@ -25,6 +25,7 @@
 #include <string>
 #include <string_view>
 #include <unordered_map>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -40,6 +41,7 @@ struct SvHash {
 struct SigTable {
     // bytes of sorted int32 multiset -> row id
     std::unordered_map<std::string, int64_t, SvHash, std::equal_to<>> map;
+    int64_t n = 0;
 };
 
 struct Counts {
@@ -156,6 +158,7 @@ struct LineReader {
 
 struct NameTable {
     std::unordered_map<std::string, int32_t, SvHash, std::equal_to<>> map;
+    int64_t n = 0;
 };
 
 int32_t parse_i32(std::string_view s) {
@@ -234,62 +237,60 @@ thread_local std::string g_error;
 
 void set_error(const std::string& msg) { g_error = msg; }
 
-}  // namespace
-
-extern "C" {
-
-const char* emsar_ingest_last_error() { return g_error.c_str(); }
-
-void* emsar_make_name_table(const char* blob, const int64_t* offsets,
-                            int64_t n) {
-    auto* t = new NameTable();
-    t->map.reserve((size_t)n * 2);
-    for (int64_t i = 0; i < n; i++)
-        t->map.emplace(std::string(blob + offsets[i],
-                                   (size_t)(offsets[i + 1] - offsets[i])),
-                       (int32_t)i);
-    return t;
-}
-
-void emsar_free_name_table(void* t) { delete (NameTable*)t; }
-
-void* emsar_make_sig_table(const int64_t* offsets, const int32_t* tids,
-                           int64_t n) {
-    auto* s = new SigTable();
-    s->map.reserve((size_t)n * 2);
-    for (int64_t i = 0; i < n; i++)
-        s->map.emplace(
-            std::string(reinterpret_cast<const char*>(tids + offsets[i]),
-                        (size_t)(offsets[i + 1] - offsets[i]) * sizeof(int32_t)),
-            i);
-    return s;
-}
-
-void emsar_free_sig_table(void* s) { delete (SigTable*)s; }
-
-// returns 0 on success; fills counts arrays.  readlength_io: in/out for PE
-// (-1 = unknown).
-int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
-                        int64_t max_repeat, int64_t min_frag,
-                        int64_t max_frag, const void* name_table,
-                        const void* sig_table, const uint8_t* has_single,
-                        int64_t* single_counts, int64_t* multi_counts,
-                        int64_t* fraglen_counts, int64_t hist_size,
-                        int64_t* total_out, int64_t* readlength_io) {
-    g_error.clear();
-    FILE* fh = (path && path[0]) ? fopen(path, "r") : stdin;
-    if (!fh) {
-        set_error(std::string("can't open bowtie file ") + path);
-        return -1;
+// budgeted line reader: reads at most `budget` bytes (line-aligned ranges;
+// budget < 0 means unlimited)
+struct RangeLineReader {
+    LineReader rd;
+    int64_t budget;
+    RangeLineReader(FILE* f, int64_t b) : rd(f), budget(b) {}
+    ssize_t next(char** line) {
+        if (budget == 0) return -1;
+        ssize_t len = rd.next(line);
+        if (len < 0) return len;
+        if (budget > 0) {
+            budget -= len + 1;
+            if (budget < 0) budget = 0;
+        }
+        return len;
     }
-    const NameTable* names = (const NameTable*)name_table;
-    Collapser col{(const SigTable*)sig_table, has_single, min_frag, max_frag,
-                  max_repeat, pe != 0,
-                  nullptr};
-    Counts counts{single_counts, multi_counts, fraglen_counts, hist_size};
-    col.out = &counts;
+};
 
+// first byte offset at or after `from` that starts a new read group
+// (SE: read id differs from the previous line's; PE: ids are not mates)
+int64_t bowtie_group_boundary(FILE* fh, int64_t from, int64_t fsize, int pe) {
+    if (from <= 0) return 0;
+    fseeko(fh, (off_t)from, SEEK_SET);
     LineReader rd(fh);
+    char* line;
+    // discard the (possibly partial) line containing `from`
+    ssize_t len = rd.next(&line);
+    if (len < 0) return fsize;
+    int64_t off = from + len + 1;
+    std::string prev_id;
+    while (off < fsize) {
+        len = rd.next(&line);
+        if (len < 0) return fsize;
+        const char* tab = (const char*)memchr(line, '\t', (size_t)len);
+        std::string_view id(line, tab ? (size_t)(tab - line) : (size_t)len);
+        if (!prev_id.empty()) {
+            bool same = pe ? mate_id_match(prev_id, id) != 0 : id == prev_id;
+            if (!same) return off;
+        }
+        prev_id.assign(id.data(), id.size());
+        off += len + 1;
+    }
+    return fsize;
+}
+
+// full parse+collapse pipeline over one line-aligned byte range
+int bowtie_worker(FILE* fh, int64_t budget, int pe, int strand_code,
+                  int64_t max_repeat, int64_t min_frag, int64_t max_frag,
+                  const NameTable* names, const SigTable* sigs,
+                  const uint8_t* has_single, Counts& counts,
+                  int64_t* readlength_io) {
+    Collapser col{sigs, has_single, min_frag, max_frag, max_repeat, pe != 0,
+                  &counts};
+    RangeLineReader rd(fh, budget);
     char* line;
     int64_t readlength = *readlength_io;
     int rc = 0;
@@ -386,10 +387,180 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
         }
     }
     col.finish();
-    if (fh != stdin) fclose(fh);
-    *total_out = counts.total_read_count;
     *readlength_io = readlength;
     return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* emsar_ingest_last_error() { return g_error.c_str(); }
+
+void* emsar_make_name_table(const char* blob, const int64_t* offsets,
+                            int64_t n) {
+    auto* t = new NameTable();
+    t->n = n;
+    t->map.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; i++)
+        t->map.emplace(std::string(blob + offsets[i],
+                                   (size_t)(offsets[i + 1] - offsets[i])),
+                       (int32_t)i);
+    return t;
+}
+
+void emsar_free_name_table(void* t) { delete (NameTable*)t; }
+
+void* emsar_make_sig_table(const int64_t* offsets, const int32_t* tids,
+                           int64_t n) {
+    auto* s = new SigTable();
+    s->n = n;
+    s->map.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; i++)
+        s->map.emplace(
+            std::string(reinterpret_cast<const char*>(tids + offsets[i]),
+                        (size_t)(offsets[i + 1] - offsets[i]) * sizeof(int32_t)),
+            i);
+    return s;
+}
+
+void emsar_free_sig_table(void* s) { delete (SigTable*)s; }
+
+// returns 0 on success; fills counts arrays.  readlength_io: in/out for PE
+// (-1 = unknown).
+int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
+                        int64_t max_repeat, int64_t min_frag,
+                        int64_t max_frag, const void* name_table,
+                        const void* sig_table, const uint8_t* has_single,
+                        int64_t* single_counts, int64_t* multi_counts,
+                        int64_t* fraglen_counts, int64_t hist_size,
+                        int64_t* total_out, int64_t* readlength_io,
+                        int nthreads) {
+    g_error.clear();
+    const NameTable* names = (const NameTable*)name_table;
+    const SigTable* sigs = (const SigTable*)sig_table;
+
+    bool is_file = path && path[0];
+    int64_t fsize = -1;
+    if (is_file) {
+        FILE* fh = fopen(path, "r");
+        if (!fh) {
+            set_error(std::string("can't open bowtie file ") + path);
+            return -1;
+        }
+        fseeko(fh, 0, SEEK_END);
+        fsize = (int64_t)ftello(fh);
+        fclose(fh);
+    }
+    if (!is_file || nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (fsize >= 0 && fsize < (int64_t)nthreads * (16 << 10)) nthreads = 1;
+
+    if (nthreads == 1) {
+        FILE* fh = is_file ? fopen(path, "r") : stdin;
+        if (!fh) {
+            set_error(std::string("can't open bowtie file ") + path);
+            return -1;
+        }
+        Counts counts{single_counts, multi_counts, fraglen_counts, hist_size};
+        int rc = bowtie_worker(fh, -1, pe, strand_code, max_repeat, min_frag,
+                               max_frag, names, sigs, has_single, counts,
+                               readlength_io);
+        if (fh != stdin) fclose(fh);
+        *total_out = counts.total_read_count;
+        return rc;
+    }
+
+    // Range-parallel: split the file at read-group boundaries; each worker
+    // runs the full parse+collapse pipeline into private buffers which are
+    // summed afterwards — counts are exactly those of the sequential run
+    // (unlike the reference's racy -p mode, BASELINE_MEASURED.md).
+    std::vector<int64_t> bounds(nthreads + 1);
+    bounds[0] = 0;
+    bounds[nthreads] = fsize;
+    {
+        FILE* fh = fopen(path, "r");
+        if (!fh) {
+            set_error(std::string("can't open bowtie file ") + path);
+            return -1;
+        }
+        for (int t = 1; t < nthreads; t++) {
+            int64_t from = fsize * t / nthreads;
+            int64_t b = bowtie_group_boundary(fh, from, fsize, pe);
+            bounds[t] = b < bounds[t - 1] ? bounds[t - 1] : b;
+        }
+        fclose(fh);
+    }
+
+    struct Priv {
+        std::vector<int64_t> single, multi, hist;
+        Counts counts;
+        int rc = 0;
+        int64_t readlength;
+    };
+    std::vector<Priv> priv(nthreads);
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; t++) {
+        Priv& p = priv[t];
+        p.single.assign((size_t)names->n, 0);
+        p.multi.assign((size_t)sigs->n, 0);
+        p.hist.assign((size_t)hist_size, 0);
+        p.counts = Counts{p.single.data(), p.multi.data(), p.hist.data(),
+                          hist_size};
+        p.readlength = *readlength_io;
+    }
+    std::vector<std::string> errors(nthreads);
+    for (int t = 0; t < nthreads; t++) {
+        threads.emplace_back([&, t]() {
+            Priv& p = priv[t];
+            if (bounds[t] >= bounds[t + 1]) return;
+            FILE* fh = fopen(path, "r");
+            if (!fh) {
+                p.rc = -1;
+                errors[t] = std::string("can't open bowtie file ") + path;
+                return;
+            }
+            fseeko(fh, (off_t)bounds[t], SEEK_SET);
+            p.rc = bowtie_worker(fh, bounds[t + 1] - bounds[t], pe,
+                                 strand_code, max_repeat, min_frag, max_frag,
+                                 names, sigs, has_single, p.counts,
+                                 &p.readlength);
+            if (p.rc != 0) errors[t] = g_error;  // thread-local
+            fclose(fh);
+        });
+    }
+    for (auto& th : threads) th.join();
+
+    int rc = 0;
+    int64_t readlength = *readlength_io;
+    for (int t = 0; t < nthreads; t++) {
+        if (priv[t].rc != 0 && rc == 0) {
+            rc = priv[t].rc;
+            set_error(errors[t]);
+        }
+        if (priv[t].readlength != -1) {
+            if (readlength == -1) readlength = priv[t].readlength;
+            else if (readlength != priv[t].readlength && rc == 0) {
+                set_error("paired-end data with variable read length is not "
+                          "supported");
+                rc = -5;
+            }
+        }
+    }
+    if (rc != 0) return rc;
+    int64_t total = 0;
+    for (int t = 0; t < nthreads; t++) {
+        for (int64_t i = 0; i < names->n; i++)
+            single_counts[i] += priv[t].single[i];
+        for (int64_t i = 0; i < sigs->n; i++)
+            multi_counts[i] += priv[t].multi[i];
+        for (int64_t i = 0; i < hist_size; i++)
+            fraglen_counts[i] += priv[t].hist[i];
+        total += priv[t].counts.total_read_count;
+    }
+    *total_out = total;
+    *readlength_io = readlength;
+    return 0;
 }
 
 }  // extern "C"

@@ -276,7 +276,8 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                 counts = native_collapser.collapse_file(
                     alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
                     cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
-                    pe_readlength if cfg.pe else None)
+                    pe_readlength if cfg.pe else None,
+                    nthreads=cfg.max_threads)
             else:
                 counts = _collapse_python(index, name_to_tid, cfg, alnfile,
                                           pe_readlength, posbias)
@@ -326,7 +327,8 @@ def _run_batched(cfg: QuantConfig, index: RshIndex, name_to_tid,
                 counts_list.append(native_collapser.collapse_file(
                     alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
                     cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
-                    pe_readlength if cfg.pe else None))
+                    pe_readlength if cfg.pe else None,
+                    nthreads=cfg.max_threads))
             else:
                 counts_list.append(_collapse_python(
                     index, name_to_tid, cfg, alnfile, pe_readlength))

@@ -81,7 +81,9 @@ class QuantConfig:
     header_fmt: str = "E"
     binsize: int = 5000
     taglen: int = 2
-    max_threads: int = 1
+    # 0 = auto (one ingest thread per CPU; identical counts at any thread
+    # count, unlike the reference's racy -p); -p N pins it
+    max_threads: int = 0
     num_round: int = 4
     epsilon: float = 1e-9
     epsilon_stepsize: float = 1e-15

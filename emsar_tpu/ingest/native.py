@@ -75,7 +75,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int]
         lib.emsar_ingest_bam.restype = ctypes.c_int
         lib.emsar_ingest_bam.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -156,8 +157,12 @@ class NativeCollapser:
     def collapse_file(self, path: str, fmt: str, pe: bool, strand_code: int,
                       max_repeat: int, min_fraglength: int,
                       max_fraglength: int,
-                      readlength_holder: Optional[List[int]] = None
-                      ) -> SampleCounts:
+                      readlength_holder: Optional[List[int]] = None,
+                      nthreads: int = 0) -> SampleCounts:
+        """nthreads: bowtie-format files are split at read-group boundaries
+        and parsed+collapsed by that many threads into private buffers
+        (counts are exactly the sequential ones — unlike the reference's
+        racy -p mode).  0 = one thread per CPU."""
         idx = self.index
         hist_size = max(max_fraglength, idx.fraglen_max) + 1
         single = np.zeros(idx.n_transcripts, dtype=np.int64)
@@ -166,12 +171,15 @@ class NativeCollapser:
         total = ctypes.c_int64(0)
         rl = ctypes.c_int64(readlength_holder[0] if readlength_holder else -1)
 
+        if nthreads <= 0:
+            nthreads = os.cpu_count() or 1
         if fmt == "bowtie":
             rc = self._lib.emsar_ingest_bowtie(
                 path.encode(), int(pe), strand_code, max_repeat,
                 min_fraglength, max_fraglength, self._name_table,
                 self._sig_table, self._has_single, single, multi, hist,
-                hist_size, ctypes.byref(total), ctypes.byref(rl))
+                hist_size, ctypes.byref(total), ctypes.byref(rl),
+                int(nthreads))
         else:
             rc = self._lib.emsar_ingest_bam(
                 path.encode(), int(fmt == "sam"), int(pe), strand_code,

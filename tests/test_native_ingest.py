@@ -46,6 +46,16 @@ def test_native_matches_python_bowtie(tmp_path, pe, strand):
                            [index.readlength if pe else -1])
     _counts_equal(py, nat)
 
+    # range-parallel ingest must give exactly the sequential counts (the
+    # file is split only at read-group boundaries)
+    for nthreads in (2, 3, 7):
+        thr = nc.collapse_file(aln, "bowtie", pe, cfg.strand.code,
+                               cfg.max_repeat, cfg.min_fraglength,
+                               cfg.max_fraglength,
+                               [index.readlength if pe else -1],
+                               nthreads=nthreads)
+        _counts_equal(nat, thr)
+
 
 @requires_native
 def test_native_matches_python_bam_sam(tmp_path):
