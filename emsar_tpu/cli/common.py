@@ -16,6 +16,18 @@ def setup_jax(enable_x64: bool = True) -> None:
         jax.config.update("jax_platforms", plat)
     if enable_x64:
         jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: kernel executables are reused across CLI
+    # invocations (EMSAR_TPU_JIT_CACHE=\"\" disables)
+    cache = os.environ.get(
+        "EMSAR_TPU_JIT_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "emsar_tpu",
+                     "jit_cache"))
+    if cache:
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except OSError:
+            pass
 
 
 def die(msg: str) -> None:

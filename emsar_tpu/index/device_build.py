@@ -130,38 +130,28 @@ def _pad_to(n: int, q: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _seg_or_fwd(start, val):
-    """Inclusive forward segmented OR; segments reset at ``start``."""
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va | vb)
-    _, out = jax.lax.associative_scan(comb, (start, val))
-    return out
+def _run_bounds(start):
+    """(my_start, next_start) per element of a run-start flag vector.
+
+    Native cumulative ops only — a tuple ``associative_scan`` at 8M+
+    elements takes tens of minutes to XLA-compile on this backend, while
+    ``cummax``/``cummin``/``cumsum`` are single HLO ops."""
+    E = start.shape[0]
+    i = jnp.arange(E, dtype=jnp.int32)
+    my_start = jax.lax.cummax(jnp.where(start, i, -1))
+    # next_start[i] = first start index > i (E if none)
+    incl = jax.lax.cummin(jnp.where(start, i, jnp.int32(E)), reverse=True)
+    next_start = jnp.concatenate([incl[1:], jnp.full(1, E, jnp.int32)])
+    return my_start, next_start
 
 
-def _seg_stats_rev(start, cnt, dmin, dmax, s1, s2, s3):
-    """Per-element aggregates over [i .. run_end] (so run starts hold the
-    full-run stats).  ``start`` flags run starts in sorted order."""
-    last = jnp.concatenate([start[1:], jnp.ones(1, dtype=bool)])
-
-    def comb(a, b):
-        fa, ca, mina, maxa, x1, x2, x3 = a
-        fb, cb, minb, maxb, y1, y2, y3 = b
-        f = fa | fb
-        return (f,
-                jnp.where(fb, cb, ca + cb),
-                jnp.where(fb, minb, jnp.minimum(mina, minb)),
-                jnp.where(fb, maxb, jnp.maximum(maxa, maxb)),
-                jnp.where(fb, y1, x1 + y1),
-                jnp.where(fb, y2, x2 + y2),
-                jnp.where(fb, y3, x3 + y3))
-
-    rev = lambda x: jnp.flip(x, axis=0)
-    out = jax.lax.associative_scan(
-        comb, (rev(last), rev(cnt), rev(dmin), rev(dmax),
-               rev(s1), rev(s2), rev(s3)))
-    return tuple(rev(x) for x in out[1:])
+def _run_sum_at_start(vals, next_start):
+    """Sum of ``vals`` over [i, next_start) — correct at run starts."""
+    S = jnp.cumsum(vals, dtype=vals.dtype)
+    E = vals.shape[0]
+    i = jnp.arange(E, dtype=jnp.int32)
+    end = jnp.clip(next_start - 1, 0, E - 1)
+    return S[end] - S[i] + vals
 
 
 # --------------------------------------------------------------------------
@@ -193,8 +183,13 @@ class DeviceRef:
         badbits[L:] = True
         self._packed = jnp.asarray(packed)
         self._badbits = jnp.asarray(np.packbits(badbits))
+        sepbits = np.zeros(Lp, dtype=bool)
+        sepbits[:L] = (tx.seq[:L] == ord("@")) | (tx.seq[:L] == ord("$"))
+        sepbits[L:] = True
+        self._sepbits = jnp.asarray(np.packbits(sepbits))
         self.cuml = jnp.asarray(tx.cuml.astype(np.int32))
-        self.p16, self.badp = _unpack_ref(self._packed, self._badbits, Lp)
+        self.p16, self.badp, self.nsep = _unpack_ref(
+            self._packed, self._badbits, self._sepbits, Lp)
 
     def t32(self, readlength: int):
         """tid of every window-start position (reference sf_i,
@@ -204,7 +199,7 @@ class DeviceRef:
 
 
 @functools.partial(jax.jit, static_argnames=("Lp",))
-def _unpack_ref(packed, badbits, Lp: int):
+def _unpack_ref(packed, badbits, sepbits, Lp: int):
     i = jnp.arange(Lp, dtype=jnp.int32)
     byte = packed[i >> 2]
     shift = ((3 - (i & 3)) * 2).astype(jnp.uint8)
@@ -212,13 +207,16 @@ def _unpack_ref(packed, badbits, Lp: int):
     bb = (badbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1
     badp = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(bb.astype(jnp.int32))])
+    sep = ((sepbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1) == 1
+    # nsep[k] = index of the first '@'/'$' separator at or after k
+    nsep = jax.lax.cummin(jnp.where(sep, i, jnp.int32(Lp)), reverse=True)
     # P16[k] = 2-bit codes of bases [k, k+16), big-endian
     p16 = jnp.zeros(Lp, dtype=jnp.uint32)
     cu = codes.astype(jnp.uint32)
     for j in range(16):
         shifted = jnp.roll(cu, -j)  # value at k+j lands at k
         p16 = p16 | (shifted << jnp.uint32(2 * (15 - j)))
-    return p16, badp
+    return p16, badp, nsep
 
 
 @functools.partial(jax.jit,
@@ -288,11 +286,10 @@ def _rank_kernel(p16, badp, Npad: int, n_fw: int, two_halves: bool,
     R = jnp.full(Lp, BIG_RANK, dtype=jnp.int32)
     R = R.at[jnp.where(vsorted, spos, Lp)].set(rank, mode="drop")
     # cluster-size maximum (for the chunk overlap V)
-    ones = jnp.ones(Npad, dtype=jnp.int32)
-    z = jnp.zeros(Npad, dtype=jnp.uint32)
-    cntr, _, _, _, _, _ = _seg_stats_rev(start, ones, ones, ones, z, z, z)
-    max_cluster = jnp.max(jnp.where(start & vsorted, cntr, 0))
-    n_valid = jnp.sum(vsorted.astype(jnp.int32))
+    ii = jnp.arange(Npad, dtype=jnp.int32)
+    _, ns = _run_bounds(start)
+    max_cluster = jnp.max(jnp.where(start & vsorted, ns - ii, 0))
+    n_valid = jnp.sum(vsorted, dtype=jnp.int32)
     return spos, rank, R, max_cluster, n_valid
 
 
@@ -323,64 +320,89 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     E = start.shape[0]
     claim_mask = state["claim1"].shape[0] - 1
     i = jnp.arange(E, dtype=jnp.int32)
-    l1, l2, l3 = _sig_lanes(tid)
-    ones = jnp.ones(E, dtype=jnp.int32)
-    cntr, dminr, dmaxr, s1, s2, s3 = _seg_stats_rev(
-        start, ones, d_ind, d_ind, l1, l2, l3)
+    my_start, next_start = _run_bounds(start)
+    cntr = next_start - i
+    end = jnp.clip(next_start - 1, 0, E - 1)
+    # d uniform within run <=> no adjacent differing pair inside the run
+    prev_d = jnp.concatenate([jnp.zeros(1, d_ind.dtype), d_ind[:-1]])
+    bad_pair = (~start) & (d_ind != prev_d)
+    badS = jnp.cumsum(bad_pair.astype(jnp.int32), dtype=jnp.int32)
+    single_d = (badS[end] - badS + bad_pair.astype(jnp.int32)) == 0
 
     single = start & validrow & (cntr == 1)
     dense = state["dense"].at[
         jnp.where(single, tid * nfl + d_ind, state["dense"].shape[0])
     ].add(1, mode="drop")
 
-    rec = (start & validrow & (cntr > 1) & (cntr < max_repeat)
-           & (dminr == dmaxr))
-    h3fl = (s3 & jnp.uint32(0xFFFFFE00)) | dminr.astype(jnp.uint32)
-    sg = chunk_base + i
-    sgu = sg.astype(jnp.uint32)
+    rec = (start & validrow & (cntr > 1) & (cntr < max_repeat) & single_d)
+    sgu = (chunk_base + i).astype(jnp.uint32)
 
-    # claim tables: first run (globally, by start-id order) to claim a slot
-    # becomes the signature's exemplar
-    slot1 = jnp.where(rec, (s1 & jnp.uint32(claim_mask)).astype(jnp.int32),
-                      claim_mask + 1)
-    slot2 = jnp.where(rec, (s2 & jnp.uint32(claim_mask)).astype(jnp.int32),
-                      claim_mask + 1)
-    claim1 = state["claim1"].at[slot1].min(sgu, mode="drop")
-    claim2 = state["claim2"].at[slot2].min(sgu, mode="drop")
-    win_start = rec & ((claim1[jnp.clip(slot1, 0, claim_mask)] == sgu) |
-                       (claim2[jnp.clip(slot2, 0, claim_mask)] == sgu))
-
-    # append signature records (one per multi run)
+    # compact records (one per multi run) first; signature hash lanes are
+    # then summed at record scale (cumsum endpoints), not element scale
     recinv = jnp.where(rec, jnp.uint32(0), jnp.uint32(1))
-    ro = jax.lax.sort((recinv, s1, s2, h3fl), num_keys=1, is_stable=False)
-    rec_cnt = jnp.sum(rec.astype(jnp.int32))
+    ro = jax.lax.sort((recinv, sgu, d_ind.astype(jnp.uint32)), num_keys=1,
+                      is_stable=False)
+    rec_cnt = jnp.sum(rec, dtype=jnp.int32)
     Ue = min(U, E)
-    tab_arrays = [jnp.where(jnp.arange(Ue, dtype=jnp.int32) < rec_cnt,
-                            jnp.uint32(0), jnp.uint32(1))] + \
-                 [o[:Ue] for o in ro[1:]]
+    rec_valid = jnp.arange(Ue, dtype=jnp.int32) < rec_cnt
+    rsg = ro[1][:Ue]
+    rfl = ro[2][:Ue]
+    rec_idx = jnp.clip(rsg.astype(jnp.int32) - chunk_base, 0, E - 1)
+    rend = end[rec_idx]
+    l1, l2, l3 = _sig_lanes(tid)
+    r1, r2, r3 = [], [], []
+    lanes_out = []
+    for lane in (l1, l2, l3):
+        S = jnp.cumsum(lane, dtype=jnp.uint32)
+        Sx = S - lane  # exclusive prefix
+        lanes_out.append(S[rend] - Sx[rec_idx])
+    r1, r2, r3 = lanes_out
+    r3 = (r3 & jnp.uint32(0xFFFFFE00)) | rfl
+    tab_arrays = [jnp.where(rec_valid, jnp.uint32(0), jnp.uint32(1)),
+                  r1, r2, r3]
     tab_bufs = [state["tab_flag"], state["tab_h1"], state["tab_h2"],
                 state["tab_h3fl"]]
     tabs, tab_n, flags = _append_block(tab_arrays, tab_bufs, state["tab_n"],
                                        rec_cnt, state["tab_flag"].shape[0],
                                        state["flags"], 0)
 
-    # extract exemplar members (elements of winner runs)
-    win = _seg_or_fwd(start, win_start) & validrow
-    my_start = jax.lax.cummax(jnp.where(start, i, -1))
-    sg_run = chunk_base + my_start
-    wininv = jnp.where(win, jnp.uint32(0), jnp.uint32(1))
-    mo = jax.lax.sort((wininv, sg_run, tid), num_keys=1, is_stable=False)
-    mem_cnt = jnp.sum(win.astype(jnp.int32))
-    C2e = min(C2, E)
-    mem_arrays = [mo[1][:C2e], mo[2][:C2e]]
-    mems, mem_n, flags = _append_block(mem_arrays,
-                                       [state["mem_sg"], state["mem_tid"]],
-                                       state["mem_n"], mem_cnt,
-                                       state["mem_sg"].shape[0], flags, 1)
+    # claim tables on the compacted records: the first run (globally, by
+    # start-id order) to claim a slot becomes the signature's exemplar
+    slot1 = jnp.where(rec_valid, (r1 & jnp.uint32(claim_mask))
+                      .astype(jnp.int32), claim_mask + 1)
+    slot2 = jnp.where(rec_valid, (r2 & jnp.uint32(claim_mask))
+                      .astype(jnp.int32), claim_mask + 1)
+    claim1 = state["claim1"].at[slot1].min(rsg, mode="drop")
+    claim2 = state["claim2"].at[slot2].min(rsg, mode="drop")
+    win_rec = rec_valid & ((claim1[jnp.clip(slot1, 0, claim_mask)] == rsg) |
+                           (claim2[jnp.clip(slot2, 0, claim_mask)] == rsg))
+    n_win = jnp.sum(win_rec, dtype=jnp.int32)
+
+    # extract exemplar members (elements of winner runs); skipped entirely
+    # on the common no-new-signature chunk
+    def extract(args):
+        mem_sg, mem_tid, mem_n, flags = args
+        wflag = jnp.zeros(E + 1, bool).at[
+            jnp.where(win_rec, (rsg.astype(jnp.int32) - chunk_base), E)
+        ].set(True, mode="drop")
+        win = wflag[jnp.clip(my_start, 0, E)] & validrow
+        sg_run = chunk_base + my_start
+        wininv = jnp.where(win, jnp.uint32(0), jnp.uint32(1))
+        mo = jax.lax.sort((wininv, sg_run, tid), num_keys=1, is_stable=False)
+        mem_cnt = jnp.sum(win, dtype=jnp.int32)
+        C2e = min(C2, E)
+        mems, mem_n2, flags2 = _append_block(
+            [mo[1][:C2e], mo[2][:C2e]], [mem_sg, mem_tid], mem_n, mem_cnt,
+            mem_sg.shape[0], flags, 1)
+        return mems[0], mems[1], mem_n2, flags2
+
+    mem_sg, mem_tid, mem_n, flags = jax.lax.cond(
+        n_win > 0, extract, lambda a: a,
+        (state["mem_sg"], state["mem_tid"], state["mem_n"], flags))
 
     return dict(dense=dense, tab_flag=tabs[0], tab_h1=tabs[1],
                 tab_h2=tabs[2], tab_h3fl=tabs[3], tab_n=tab_n,
-                mem_sg=mems[0], mem_tid=mems[1], mem_n=mem_n,
+                mem_sg=mem_sg, mem_tid=mem_tid, mem_n=mem_n,
                 claim1=claim1, claim2=claim2, flags=flags)
 
 
@@ -394,7 +416,7 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     static_argnames=("M", "V", "nfl", "max_repeat", "U", "C2", "unstranded",
                      "borderpos", "seqlength", "readlength", "Lp"),
     donate_argnums=(0,))
-def _pe_chunk(state, RW, RF32, T32, m1pos_ext, m1rank_ext, start_idx,
+def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
               chunk_base, d0,
               M: int, V: int, nfl: int, max_repeat: int, U: int, C2: int,
               unstranded: bool, borderpos: int, seqlength: int,
@@ -413,26 +435,26 @@ def _pe_chunk(state, RW, RF32, T32, m1pos_ext, m1rank_ext, start_idx,
     prevrank = jax.lax.dynamic_slice(m1rank_ext, (start_idx - 1,), (MV,))
     cstart = mrank != prevrank
     mvalid = mrank < BIG_RANK
-    owned = _seg_or_fwd(cstart, cstart & (j < M)) & mvalid
+    my_cs, _ = _run_bounds(cstart)
+    owned = (cstart & (j < M))[jnp.clip(my_cs, 0, None)] & mvalid
 
     mposc = jnp.clip(mpos, 0, Lp - nfl - rl - 2)
     base = mposc + d0
     dd = jnp.arange(nfl, dtype=jnp.int32)
     cand = mpos[:, None] + d0 + dd[None, :]
-    rw = jax.vmap(lambda b: jax.lax.dynamic_slice(RW, (b,), (nfl,)))(base)
+    rw = RW[base[:, None] + dd[None, :]]
     in_range = cand <= seqlength - rl
-    border_ok = ~((mpos[:, None] < borderpos) & (cand > borderpos))
-    # same transcript: a large d can jump the '@' separator entirely into
-    # the next transcript, so window validity alone is not enough
+    # same segment: the mate2 window must not reach past the next '@'/'$'
+    # separator (which also bars jumping into the next transcript or the
+    # rc half; reference tid + border checks, :2854-2872)
     tidm = T32[mposc]
-    t2 = jax.vmap(lambda b: jax.lax.dynamic_slice(T32, (b,), (nfl,)))(base)
-    cvalid = (owned[:, None] & in_range & border_ok & (rw != KEY_PAD)
-              & (t2 == tidm[:, None]))
+    dmax_m = NS[mposc] - rl - mpos
+    cvalid = (owned[:, None] & in_range & (rw != KEY_PAD)
+              & ((d0 + dd)[None, :] <= dmax_m[:, None]))
 
     if unstranded:
         # canonical pair orientation on ranks (reference :2863-2869)
-        rf = jax.vmap(lambda b: jax.lax.dynamic_slice(RF32, (b,), (nfl,))
-                      )(base)
+        rf = RF32[base[:, None] + dd[None, :]]
         rfp = RF32[mposc]
         cmp1 = jnp.sign(mrank[:, None] - rf).astype(jnp.int8)
         cmp2 = jnp.sign(rw.astype(jnp.int32) - rfp[:, None]).astype(jnp.int8)
@@ -533,14 +555,14 @@ def _tab_finalize(tab_flag, tab_h1, tab_h2, tab_h3fl, UCAP: int):
     diff = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | \
         (h3[1:] != h3[:-1]) | (fl[1:] != fl[:-1])
     start = jnp.concatenate([jnp.ones(1, bool), diff])
-    ones = jnp.ones(T, dtype=jnp.int32)
-    z = jnp.zeros(T, dtype=jnp.uint32)
-    cntr, _, _, _, _, _ = _seg_stats_rev(start, ones, ones, ones, z, z, z)
+    ii = jnp.arange(T, dtype=jnp.int32)
+    _, ns = _run_bounds(start)
+    cntr = ns - ii
     head = start & (fl == 0)
     headinv = jnp.where(head, jnp.uint32(0), jnp.uint32(1))
     o2 = jax.lax.sort((headinv, h1, h2, h3, cntr), num_keys=1,
                       is_stable=False)
-    n_unique = jnp.sum(head.astype(jnp.int32))
+    n_unique = jnp.sum(head, dtype=jnp.int32)
     return (o2[1][:UCAP], o2[2][:UCAP], o2[3][:UCAP], o2[4][:UCAP],
             n_unique)
 
@@ -725,12 +747,17 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         caps = _caps(Npos * nfl, tx.n_transcripts, nfl)
         state = _init_state(tx.n_transcripts, nfl, caps)
 
+    import os as _os
+    profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
     with phase("PE dev: expansion", cfg.verbose):
         d0 = fl_min - rl
         base = 0
+        import time as _time
         for k in range(n_chunks):
+            if profile:
+                t0 = _time.perf_counter()
             state = _pe_chunk(
-                state, RW, RF32, T32, m1pos_ext, m1rank_ext,
+                state, RW, RF32, T32, ref.nsep, m1pos_ext, m1rank_ext,
                 jnp.int32(1 + k * M), jnp.int32(base), jnp.int32(d0),
                 M=M, V=V, nfl=nfl, max_repeat=int(cfg.max_repeat),
                 U=min(1 << 22, E, caps["TABCAP"] // 2),
@@ -738,6 +765,10 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                 borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
                 readlength=rl, Lp=ref.Lp)
             base += E
+            if profile:
+                np.asarray(state["flags"])
+                print(f"[profile] chunk {k}: "
+                      f"{_time.perf_counter() - t0:.3f}s", flush=True)
 
     with phase("PE dev: finalize", cfg.verbose):
         return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max)
