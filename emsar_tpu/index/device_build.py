@@ -612,13 +612,19 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     if rows > caps["UCAP"]:
         raise DeviceBuildOverflow(
             f"unique (signature, fraglen) rows {rows} > UCAP {caps['UCAP']}")
-    uh1 = np.asarray(uh1)[:rows]
-    uh2 = np.asarray(uh2)[:rows]
-    uh3fl = np.asarray(uh3fl)[:rows]
-    ucnt = np.asarray(ucnt)[:rows]
+
+    def fetch(dev, n):
+        # transfer only a pow2-sized prefix (the tunnel is ~16 MB/s)
+        k = min(_next_pow2(max(n, 1)), dev.shape[0])
+        return np.asarray(dev[:k])[:n]
+
+    uh1 = fetch(uh1, rows)
+    uh2 = fetch(uh2, rows)
+    uh3fl = fetch(uh3fl, rows)
+    ucnt = fetch(ucnt, rows)
     mem_n = int(np.asarray(state["mem_n"]))
-    mem_sg = np.asarray(state["mem_sg"])[:mem_n]
-    mem_tid = np.asarray(state["mem_tid"])[:mem_n]
+    mem_sg = fetch(state["mem_sg"], mem_n)
+    mem_tid = fetch(state["mem_tid"], mem_n)
     dense = np.asarray(state["dense"]).reshape(tx.n_transcripts, nfl)
 
     # resolve exemplar multisets, verify against their hashes
