@@ -1,0 +1,75 @@
+"""Differential tests for the device-resident builder: on random
+transcriptomes, its .rsh must be byte-identical to the exact NumPy path
+(which is itself golden-pinned against the reference binary)."""
+
+import numpy as np
+import pytest
+
+from emsar_tpu.config import BuildConfig, StrandType
+from emsar_tpu.index.build import build_pe_index, build_se_index
+from emsar_tpu.index import device_build
+from emsar_tpu.io.fasta import build_transcriptome
+from tests.util import random_transcriptome
+
+
+def _text(idx, tmp_path, name):
+    p = str(tmp_path / name)
+    idx.write_text(p)
+    with open(p, "rb") as fh:
+        return fh.read()
+
+
+@pytest.mark.parametrize("seed,pe,strand,n_frac,max_frag", [
+    (101, True, "ns", 0.0, 65),
+    (102, True, "ssfr", 0.01, 55),
+    (103, False, "ns", 0.02, None),
+    (104, False, "ssr", 0.0, None),
+])
+def test_device_matches_numpy(tmp_path, seed, pe, strand, n_frac, max_frag):
+    rng = np.random.default_rng(seed)
+    names, seqs = random_transcriptome(rng, 30, min_len=25, max_len=220,
+                                       shared_frac=0.6, n_frac=n_frac)
+    tx = build_transcriptome(names, seqs)
+    rl = 19
+    cfg = BuildConfig(pe=pe, strand=StrandType.parse(strand, pe),
+                      min_fraglength=1,
+                      max_fraglength=max_frag if max_frag else 400,
+                      verbose=0)
+    if pe:
+        dev = build_pe_index(tx, rl, cfg, backend="device")
+        ref = build_pe_index(tx, rl, cfg, backend="numpy")
+    else:
+        dev = build_se_index(tx, rl - 1, rl + 1, cfg, backend="device")
+        ref = build_se_index(tx, rl - 1, rl + 1, cfg, backend="numpy")
+    assert _text(dev, tmp_path, "d.rsh") == _text(ref, tmp_path, "n.rsh")
+
+
+def test_multiset_hash_host_device_agree():
+    """The host dual of the device multiset hash must agree exactly (the
+    exemplar verification in _finalize_host depends on it)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    tids = rng.integers(0, 50000, size=257).astype(np.int32)
+    host = device_build.sig_lanes_np(tids)
+    dev = np.stack([np.asarray(x)
+                    for x in device_build._sig_lanes(jnp.asarray(tids))],
+                   axis=1)
+    np.testing.assert_array_equal(host, dev)
+    h = device_build.multiset_hash_np(tids)
+    h_perm = device_build.multiset_hash_np(tids[::-1].copy())
+    assert h == h_perm
+
+
+def test_small_chunk_budget_pe(tmp_path):
+    """Many tiny chunks (cluster-boundary overlap logic) must not change
+    the output."""
+    rng = np.random.default_rng(105)
+    names, seqs = random_transcriptome(rng, 20, min_len=30, max_len=150,
+                                       shared_frac=0.7)
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(pe=True, strand=StrandType.parse("ns", True),
+                      min_fraglength=1, max_fraglength=50, verbose=0)
+    big = build_pe_index(tx, 16, cfg, backend="device")
+    cfg.pe_chunk_candidates = 1 << 12  # force many chunks
+    small = build_pe_index(tx, 16, cfg, backend="device")
+    assert _text(big, tmp_path, "b.rsh") == _text(small, tmp_path, "s.rsh")
