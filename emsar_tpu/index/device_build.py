@@ -21,9 +21,11 @@ construction on the device and transfers only aggregated results:
   instead of one row per candidate (the reference's rshbucket insert,
   update_rshbucket :1542-1625, keyed here by a 87-bit multiset hash),
 * the actual tid multisets are recovered from *exemplar* runs: the first
-  run to claim a hash slot in two independent claim tables has its members
-  compacted out (a few KB per build); the host verifies every resolved
-  multiset against its hash.
+  run to claim a hash slot in three independent claim tables has its
+  members compacted out (a few KB per build); the host verifies every
+  resolved multiset against its hash, and a signature losing all three
+  slots (probability ~(load)^3 per signature) aborts to the fallback
+  backend rather than guessing.
 
 Orientation / canonicalization (reference strcmp-based rules,
 src/emsar_functions.c:1005, 2863-2869) are evaluated on ranks instead of
@@ -368,14 +370,19 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
 
     # claim tables on the compacted records: the first run (globally, by
     # start-id order) to claim a slot becomes the signature's exemplar
+    r12 = (r1 >> jnp.uint32(16)) | (r2 << jnp.uint32(16))
     slot1 = jnp.where(rec_valid, (r1 & jnp.uint32(claim_mask))
                       .astype(jnp.int32), claim_mask + 1)
     slot2 = jnp.where(rec_valid, (r2 & jnp.uint32(claim_mask))
                       .astype(jnp.int32), claim_mask + 1)
+    slot3 = jnp.where(rec_valid, (r12 & jnp.uint32(claim_mask))
+                      .astype(jnp.int32), claim_mask + 1)
     claim1 = state["claim1"].at[slot1].min(rsg, mode="drop")
     claim2 = state["claim2"].at[slot2].min(rsg, mode="drop")
+    claim3 = state["claim3"].at[slot3].min(rsg, mode="drop")
     win_rec = rec_valid & ((claim1[jnp.clip(slot1, 0, claim_mask)] == rsg) |
-                           (claim2[jnp.clip(slot2, 0, claim_mask)] == rsg))
+                           (claim2[jnp.clip(slot2, 0, claim_mask)] == rsg) |
+                           (claim3[jnp.clip(slot3, 0, claim_mask)] == rsg))
     n_win = jnp.sum(win_rec, dtype=jnp.int32)
 
     # extract exemplar members (elements of winner runs); skipped entirely
@@ -403,7 +410,7 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     return dict(dense=dense, tab_flag=tabs[0], tab_h1=tabs[1],
                 tab_h2=tabs[2], tab_h3fl=tabs[3], tab_n=tab_n,
                 mem_sg=mem_sg, mem_tid=mem_tid, mem_n=mem_n,
-                claim1=claim1, claim2=claim2, flags=flags)
+                claim1=claim1, claim2=claim2, claim3=claim3, flags=flags)
 
 
 # --------------------------------------------------------------------------
@@ -594,6 +601,7 @@ def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
         mem_n=jnp.zeros((), jnp.int32),
         claim1=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
         claim2=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
+        claim3=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
         flags=jnp.zeros(4, jnp.int32),
     )
 
