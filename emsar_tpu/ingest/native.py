@@ -22,24 +22,27 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "csrc", "ingest.cc")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_SRCS = [os.path.join(_CSRC, "ingest.cc"), os.path.join(_CSRC, "solver.cc")]
 _SO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
 _SO = os.path.join(_SO_DIR, "libemsar_ingest.so")
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
     os.makedirs(_SO_DIR, exist_ok=True)
     if (os.path.exists(_SO) and
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            all(os.path.getmtime(_SO) >= os.path.getmtime(s)
+                for s in _SRCS)):
         return True
     try:
         subprocess.run(["g++", "-O3", "-std=c++20", "-shared", "-fPIC",
-                        _SRC, "-o", _SO + ".tmp", "-lz"],
+                        *_SRCS, "-o", _SO + ".tmp", "-lz"],
                        check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
         return True
@@ -87,6 +90,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.emsar_group_rows.restype = ctypes.c_int64
         lib.emsar_group_rows.argtypes = [_u64p, _u64p, ctypes.c_void_p,
                                          ctypes.c_int64, _i64p, _i64p]
+        lib.emsar_polish_squarem.restype = ctypes.c_int64
+        lib.emsar_polish_squarem.argtypes = [
+            _i32p, _i32p, _f64p, ctypes.c_int64, _f64p, _f64p,
+            ctypes.c_int64, _f64p, ctypes.c_int64, _f64p, ctypes.c_double,
+            ctypes.c_int64]
         _LIB = lib
         return _LIB
 
@@ -114,6 +122,28 @@ def group_rows(h1: np.ndarray, h2: np.ndarray,
     if ng < 0:
         raise MemoryError("emsar_group_rows failed")
     return perm, run_id, int(ng)
+
+
+def polish_squarem(e_cid: np.ndarray, e_tid: np.ndarray, mult: np.ndarray,
+                   eumaps: np.ndarray, reads: np.ndarray,
+                   inv_denom: np.ndarray, theta: np.ndarray,
+                   epsilon: float, max_cycles: int) -> int:
+    """In-place float64 SQUAREM polish (csrc/solver.cc); returns the
+    number of cycles run.  Raises RuntimeError when the native library is
+    unavailable (callers fall back to the NumPy implementation)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native polish unavailable")
+    e_cid = np.ascontiguousarray(e_cid, dtype=np.int32)
+    e_tid = np.ascontiguousarray(e_tid, dtype=np.int32)
+    mult = np.ascontiguousarray(mult, dtype=np.float64)
+    eumaps = np.ascontiguousarray(eumaps, dtype=np.float64)
+    reads = np.ascontiguousarray(reads, dtype=np.float64)
+    inv_denom = np.ascontiguousarray(inv_denom, dtype=np.float64)
+    assert theta.dtype == np.float64 and theta.flags.c_contiguous
+    return int(lib.emsar_polish_squarem(
+        e_cid, e_tid, mult, len(e_cid), eumaps, reads, len(eumaps),
+        inv_denom, len(inv_denom), theta, float(epsilon), int(max_cycles)))
 
 
 def available() -> bool:

@@ -11,6 +11,11 @@ bucketed into padded size classes and solved as batched dense EM:
 which XLA maps onto the MXU, replacing the CSR path's gather/scatter.
 Oversized modules fall back to the CSR solver (model/solver.py).
 
+The padded membership tensor M is mostly zeros, so only its COO
+coordinates cross the host->device link (the link is the bottleneck on a
+tunneled TPU); M, the denominator, and the read-attribution starting
+point are all materialized on device inside the jitted solve.
+
 A Pallas kernel (``use_pallas=True``) runs a whole block of EM iterations
 with the module batch resident in VMEM — zero HBM traffic between
 iterations — with the same semantics.
@@ -30,19 +35,33 @@ import jax.numpy as jnp
 from .modules import ModuleDecomposition, SegmentGraph
 
 # (max segments, max transcripts) per class; larger modules -> CSR
-SIZE_CLASSES: Tuple[Tuple[int, int], ...] = ((32, 8), (128, 32), (512, 128))
+SIZE_CLASSES: Tuple[Tuple[int, int], ...] = ((32, 8), (64, 16), (128, 32),
+                                             (512, 128))
 
 
 @dataclasses.dataclass
 class DenseBatch:
-    """One padded size class of modules."""
+    """One padded size class of modules, in COO membership form.
 
-    m: np.ndarray  # [B, C, T] float membership multiplicities
+    ``flat_idx`` holds b*C*T + ci*T + ti per (segment, transcript)
+    incidence — duplicates encode multiplicity (internal repeats) and
+    accumulate in the device scatter that materializes M.
+    """
+
+    shape: Tuple[int, int, int]  # (B, C, T)
+    flat_idx: np.ndarray  # int32/int64 [nnz]
     eumaps: np.ndarray  # [B, C]
     reads: np.ndarray  # [B, C]
-    denom: np.ndarray  # [B, T]
     tid_map: np.ndarray  # int32 [B, T], -1 padding
     sids: np.ndarray  # int64 [B]
+
+    @property
+    def m(self) -> np.ndarray:
+        """Materialized [B, C, T] membership tensor (host, for tests)."""
+        B, C, T = self.shape
+        m = np.zeros(B * C * T, dtype=self.eumaps.dtype)
+        np.add.at(m, self.flat_idx, 1.0)
+        return m.reshape(B, C, T)
 
 
 @dataclasses.dataclass
@@ -55,72 +74,96 @@ def partition_modules(graph: SegmentGraph, modules: ModuleDecomposition,
                       eumaps: np.ndarray, read_count: np.ndarray,
                       classes: Tuple[Tuple[int, int], ...] = SIZE_CLASSES,
                       dtype=np.float32) -> DensePartition:
-    """Bucket modules into dense size classes.
+    """Bucket modules into dense size classes (fully vectorized).
 
     Active segments are those with sid >= 0 and EUMAps > 0 (reference
-    skips E==0 segments in the likelihood); transcripts are those
-    appearing in a module's active segments."""
-    n_cid = graph.n_cid
+    skips E==0 segments in the likelihood, Fp src/emsar_functions.c:2952);
+    transcripts are those appearing in a module's active segments."""
+    ntid = graph.n_transcripts
     off, tids = graph.ct_offsets, graph.ct_tids
-    sizes = np.diff(off)
+    seg_sizes = np.diff(off)
     active = (modules.cs >= 0) & (eumaps > 0)
-
-    # per-module active segment lists
-    n_sets = modules.n_sets
     act_cids = np.flatnonzero(active)
+    if len(act_cids) == 0:
+        return DensePartition(batches=[],
+                              csr_sids=np.empty(0, dtype=np.int64))
+
     cid_sid = modules.cs[act_cids]
     order = np.argsort(cid_sid, kind="stable")
     act_cids = act_cids[order]
     cid_sid = cid_sid[order]
-    seg_starts = np.searchsorted(cid_sid, np.arange(n_sets + 1))
+    # modules present among active segments, as contiguous row ranges
+    sids_u, first_pos, mod_ncid = np.unique(cid_sid, return_index=True,
+                                            return_counts=True)
+    nmod = len(sids_u)
+    mod_row = np.repeat(np.arange(nmod, dtype=np.int64), mod_ncid)
+    ci = np.arange(len(act_cids), dtype=np.int64) \
+        - np.repeat(first_pos, mod_ncid)  # local segment index
 
-    batches: List[List[int]] = [[] for _ in classes]
-    csr_sids: List[int] = []
-    mod_tids: List[Optional[np.ndarray]] = [None] * n_sets
-    mod_c: np.ndarray = np.diff(seg_starts)
+    # flat (module, local segment, tid) incidences
+    e_sizes = seg_sizes[act_cids]
+    n_inc = int(e_sizes.sum())
+    estart = np.zeros(len(act_cids) + 1, dtype=np.int64)
+    np.cumsum(e_sizes, out=estart[1:])
+    within = np.arange(n_inc, dtype=np.int64) - np.repeat(estart[:-1],
+                                                          e_sizes)
+    e_tid = tids[np.repeat(off[act_cids], e_sizes) + within].astype(np.int64)
+    e_mod = np.repeat(mod_row, e_sizes)
+    e_ci = np.repeat(ci, e_sizes)
 
-    for sid in range(n_sets):
-        cids = act_cids[seg_starts[sid]:seg_starts[sid + 1]]
-        if len(cids) == 0:
-            continue
-        t = np.unique(np.concatenate(
-            [tids[off[c]:off[c + 1]] for c in cids]))
-        mod_tids[sid] = t
-        placed = False
-        for k, (cmax, tmax) in enumerate(classes):
-            if len(cids) <= cmax and len(t) <= tmax:
-                batches[k].append(sid)
-                placed = True
-                break
-        if not placed:
-            csr_sids.append(sid)
+    # per-module transcript lists (sorted) + local ranks
+    key = e_mod * ntid + e_tid
+    uniq = np.unique(key)
+    u_mod = uniq // ntid
+    u_tid = (uniq % ntid).astype(np.int32)
+    mod_ntid = np.bincount(u_mod, minlength=nmod)
+    u_start = np.zeros(nmod + 1, dtype=np.int64)
+    np.cumsum(mod_ntid, out=u_start[1:])
+    u_rank = np.arange(len(uniq), dtype=np.int64) \
+        - np.repeat(u_start[:-1], mod_ntid)
+    e_ti = u_rank[np.searchsorted(uniq, key)]
 
-    out: List[DenseBatch] = []
+    # smallest fitting class per module; none -> CSR
+    n_cls = len(classes)
+    cls = np.full(nmod, n_cls, dtype=np.int64)
+    for k in reversed(range(n_cls)):
+        cmax, tmax = classes[k]
+        cls = np.where((mod_ncid <= cmax) & (mod_ntid <= tmax), k, cls)
+    csr_sids = sids_u[cls == n_cls]
+
+    cls_of_cid = cls[mod_row]
+    cls_of_inc = cls[e_mod]
+    cls_of_u = cls[u_mod]
+    batches: List[DenseBatch] = []
     for k, (cmax, tmax) in enumerate(classes):
-        sids = batches[k]
-        if not sids:
+        members = np.flatnonzero(cls == k)
+        if len(members) == 0:
             continue
-        B = len(sids)
-        m = np.zeros((B, cmax, tmax), dtype=dtype)
-        E = np.zeros((B, cmax), dtype=dtype)
-        R = np.zeros((B, cmax), dtype=dtype)
+        B = len(members)
+        brow = np.full(nmod, -1, dtype=np.int64)
+        brow[members] = np.arange(B)
+
+        emask = cls_of_inc == k
+        flat = (brow[e_mod[emask]] * (cmax * tmax)
+                + e_ci[emask] * tmax + e_ti[emask])
+        flat_idx = flat.astype(np.int32 if B * cmax * tmax < 2**31
+                               else np.int64)
+
+        E_cls = np.zeros((B, cmax), dtype=dtype)
+        R_cls = np.zeros((B, cmax), dtype=dtype)
+        cmask = cls_of_cid == k
+        rows, cols = brow[mod_row[cmask]], ci[cmask]
+        E_cls[rows, cols] = eumaps[act_cids[cmask]]
+        R_cls[rows, cols] = read_count[act_cids[cmask]]
+
         tid_map = np.full((B, tmax), -1, dtype=np.int32)
-        for b, sid in enumerate(sids):
-            cids = act_cids[seg_starts[sid]:seg_starts[sid + 1]]
-            t = mod_tids[sid]
-            tid_map[b, :len(t)] = t
-            t_index = {int(x): i for i, x in enumerate(t)}
-            E[b, :len(cids)] = eumaps[cids]
-            R[b, :len(cids)] = read_count[cids]
-            for ci, c in enumerate(cids):
-                for x in tids[off[c]:off[c + 1]]:
-                    m[b, ci, t_index[int(x)]] += 1.0
-        denom = np.einsum("bct,bc->bt", m, E).astype(dtype)
-        out.append(DenseBatch(m=m, eumaps=E, reads=R, denom=denom,
-                              tid_map=tid_map,
-                              sids=np.asarray(sids, dtype=np.int64)))
-    return DensePartition(batches=out, csr_sids=np.asarray(csr_sids,
-                                                           dtype=np.int64))
+        umask = cls_of_u == k
+        tid_map[brow[u_mod[umask]], u_rank[umask]] = u_tid[umask]
+
+        batches.append(DenseBatch(shape=(B, cmax, tmax), flat_idx=flat_idx,
+                                  eumaps=E_cls, reads=R_cls, tid_map=tid_map,
+                                  sids=sids_u[members]))
+    return DensePartition(batches=batches, csr_sids=csr_sids)
 
 
 def _em_iter_dense(m, reads, inv_denom, theta):
@@ -132,13 +175,31 @@ def _em_iter_dense(m, reads, inv_denom, theta):
     return theta * num * inv_denom
 
 
-@functools.partial(jax.jit, static_argnames=("block_iters", "max_blocks"))
-def _dense_solve_jax(m, eumaps, reads, denom, theta0, epsilon,
+def _materialize(flat_idx, eumaps, B: int, C: int, T: int):
+    """COO coordinates -> dense [B, C, T] membership (device scatter)."""
+    m = jnp.zeros((B * C * T,), dtype=eumaps.dtype)
+    m = m.at[flat_idx].add(1.0)
+    return m.reshape(B, C, T)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "C", "T", "block_iters",
+                                    "max_blocks"))
+def _dense_solve_jax(flat_idx, eumaps, reads, epsilon,
+                     B: int, C: int, T: int,
                      block_iters: int, max_blocks: int):
     """Batched dense SQUAREM EM with the same convergence semantics as the
     CSR solver (termwise likelihood gains)."""
+    m = _materialize(flat_idx, eumaps, B, C, T)
+    denom = jnp.einsum("bct,bc->bt", m, eumaps,
+                       preferred_element_type=eumaps.dtype)
     inv_denom = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0),
                           0.0)
+    # read-attribution start: all of each segment's reads granted to every
+    # member transcript (upper-bound scale, cheap, halves the cycle count
+    # vs. all-ones; exact zeros stay zero, which is their optimum)
+    theta0 = jnp.einsum("bct,bc->bt", m, reads,
+                        preferred_element_type=reads.dtype) * inv_denom
 
     def intens(th):
         return jnp.einsum("bct,bt->bc", m, th,
@@ -164,7 +225,11 @@ def _dense_solve_jax(m, eumaps, reads, denom, theta0, epsilon,
         vn = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
         alpha = jnp.where(vn > 0, -rn / jnp.where(vn > 0, vn, 1.0), -1.0)
         alpha = jnp.minimum(alpha, -1.0)
-        cand = jnp.maximum(th - 2.0 * alpha * r + alpha * alpha * v, 0.0)
+        # coordinates the extrapolation would clamp to 0 take the plain
+        # double-EM value instead: an exact 0 is an absorbing boundary for
+        # multiplicative EM and can freeze a suboptimal KKT point
+        extrap = th - 2.0 * alpha * r + alpha * alpha * v
+        cand = jnp.where(extrap > 0, extrap, t2)
         cand = _em_iter_dense(m, reads, inv_denom, cand)
         better = (gain_rows(intens(t2), intens(cand)) >= 0)[:, None]
         return jnp.where(better, cand, t2)
@@ -173,7 +238,9 @@ def _dense_solve_jax(m, eumaps, reads, denom, theta0, epsilon,
         th, s_prev, it, _ = state
         th = jax.lax.fori_loop(0, block_iters, lambda _, x: cycle(x), th)
         s_new = intens(th)
-        return th, s_new, it + 1, jnp.sum(gain_rows(s_prev, s_new))
+        # per-module convergence (max row gain), matching the reference's
+        # per-module epsilon (MLE :3119), not a batch-summed criterion
+        return th, s_new, it + 1, jnp.max(gain_rows(s_prev, s_new))
 
     def cond(state):
         _, _, it, gain = state
@@ -225,8 +292,10 @@ def _pallas_block(m, eumaps, reads, inv_denom, theta, n_iters: int,
             alpha = jnp.minimum(
                 jnp.where(vn > 0, -rn / jnp.where(vn > 0, vn, 1.0), -1.0),
                 -1.0)
-            cand = jnp.maximum(th - 2.0 * alpha * r + alpha * alpha * v, 0.0)
-            cand = em(cand)
+            # zero-crossing coordinates fall back to the plain double-EM
+            # value (exact 0 is absorbing for multiplicative EM)
+            extrap = th - 2.0 * alpha * r + alpha * alpha * v
+            cand = em(jnp.where(extrap > 0, extrap, t2))
             lam2 = intens(t2)
             lamc = intens(cand)
             both = (lam2 > 0) & (lamc > 0)
@@ -264,20 +333,21 @@ def solve_dense_batch(batch: DenseBatch, epsilon: float,
                       use_pallas: bool = False
                       ) -> Tuple[np.ndarray, int]:
     """Solve one dense size class; returns (theta [B, T], n_blocks)."""
-    m = jnp.asarray(batch.m)
+    B, C, T = batch.shape
     E = jnp.asarray(batch.eumaps)
     R = jnp.asarray(batch.reads)
-    denom = jnp.asarray(batch.denom)
-    theta0 = jnp.where(denom > 0, jnp.ones_like(denom), 0.0)
     if not use_pallas:
-        th, it = _dense_solve_jax(m, E, R, denom, theta0,
-                                  jnp.asarray(epsilon, theta0.dtype),
-                                  block_iters, max_blocks)
+        th, it = _dense_solve_jax(jnp.asarray(batch.flat_idx), E, R,
+                                  jnp.asarray(epsilon, E.dtype),
+                                  B, C, T, block_iters, max_blocks)
         return np.asarray(th), int(it)
     # Pallas path: host convergence loop over VMEM-resident blocks
+    m = jax.jit(_materialize, static_argnames=("B", "C", "T"))(
+        jnp.asarray(batch.flat_idx), E, B=B, C=C, T=T)
+    denom = jnp.einsum("bct,bc->bt", m, E)
     inv_denom = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0),
                           0.0)
-    B, C, T = batch.m.shape
+    theta0 = jnp.einsum("bct,bc->bt", m, R) * inv_denom
     # VMEM budget ~2MB for the membership tile
     tile_b = max(1, min(B, (1 << 19) // max(C * T * 4, 1)))
     while B % tile_b:
@@ -297,7 +367,7 @@ def solve_dense_batch(batch: DenseBatch, epsilon: float,
         born = (s_prev <= 0) & (s_new > 0) & (R > 0)
         term = jnp.where(both, R * ratio,
                          jnp.where(died, -1e30, jnp.where(born, 1e30, 0.0)))
-        gain = float(jnp.sum(term - E * (s_new - s_prev)))
+        gain = float(jnp.max(jnp.sum(term - E * (s_new - s_prev), axis=1)))
         s_prev = s_new
         if gain < epsilon:
             break

@@ -58,23 +58,45 @@ def build_segment_graph(index, adj_euma: np.ndarray,
                         read_count=read_count)
 
 
-class _UnionFind:
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
+def _connected_roots(ntid: int, off: np.ndarray, tids: np.ndarray,
+                     sizes: np.ndarray, act_multi: np.ndarray) -> np.ndarray:
+    """Per-tid component root (the smallest tid of the component), with
+    components induced by the active multi-transcript segments.
 
-    def find(self, x: int) -> int:
-        p = self.parent
-        root = x
-        while p[root] != root:
-            root = p[root]
-        while p[x] != root:
-            p[x], x = root, p[x]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
+    Vectorized: star edges (first tid of each segment -> its other tids)
+    fed to scipy's C connected-components; falls back to iterative
+    min-label propagation without scipy."""
+    if len(act_multi) == 0:
+        return np.arange(ntid, dtype=np.int64)
+    e_sizes = sizes[act_multi] - 1
+    first = np.repeat(tids[off[act_multi]], e_sizes).astype(np.int64)
+    n_e = int(e_sizes.sum())
+    estart = np.zeros(len(act_multi) + 1, dtype=np.int64)
+    np.cumsum(e_sizes, out=estart[1:])
+    within = np.arange(n_e, dtype=np.int64) - np.repeat(estart[:-1], e_sizes)
+    other = tids[np.repeat(off[act_multi] + 1, e_sizes) + within] \
+        .astype(np.int64)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+        g = coo_matrix((np.ones(n_e, dtype=np.int8), (first, other)),
+                       shape=(ntid, ntid))
+        _, labels = connected_components(g, directed=False)
+        # root = smallest tid per component label
+        root_of_label = np.full(labels.max() + 1, ntid, dtype=np.int64)
+        np.minimum.at(root_of_label, labels, np.arange(ntid, dtype=np.int64))
+        return root_of_label[labels]
+    except ImportError:
+        labels = np.arange(ntid, dtype=np.int64)
+        while True:
+            m = np.minimum(labels[first], labels[other])
+            prev = labels.copy()
+            np.minimum.at(labels, first, m)
+            np.minimum.at(labels, other, m)
+            # pointer-jump to each node's current label's label
+            labels = labels[labels]
+            if np.array_equal(labels, prev):
+                return labels
 
 
 @dataclasses.dataclass
@@ -102,13 +124,8 @@ def decompose_modules(graph: SegmentGraph, euma_cut: float = 0.0,
         # the cut is strict '<', so adjEUMA == EUMAcut == 0 still joins).
         active = ~multi_mask | (graph.adj_euma >= euma_cut)
 
-        uf = _UnionFind(ntid)
-        for cid in np.flatnonzero(active & multi_mask):
-            first = tids[off[cid]]
-            for k in range(off[cid] + 1, off[cid + 1]):
-                uf.union(first, tids[k])
-        roots = np.fromiter((uf.find(t) for t in range(ntid)),
-                            dtype=np.int64, count=ntid)
+        roots = _connected_roots(ntid, off, tids, sizes,
+                                 np.flatnonzero(active & multi_mask))
 
         comp_sizes = np.bincount(roots, minlength=ntid)
         # component tid-count == number of tids whose root is r

@@ -157,8 +157,11 @@ def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
         alpha = jnp.where(vnorm > 0, -rnorm / jnp.where(vnorm > 0, vnorm, 1.0),
                           -1.0)
         alpha = jnp.minimum(alpha, -1.0)  # never shorter than a plain step
-        cand = jnp.maximum(theta - 2.0 * alpha * r + (alpha * alpha) * v, 0.0)
-        cand = em_iter(cand)  # stabilization step
+        # zero-crossing coordinates fall back to the plain double-EM value:
+        # an exact 0 is an absorbing boundary for multiplicative EM and can
+        # freeze a suboptimal KKT point
+        extrap = theta - 2.0 * alpha * r + (alpha * alpha) * v
+        cand = em_iter(jnp.where(extrap > 0, extrap, t2))  # stabilization
         better = gain_of(intensities(t2), intensities(cand)) >= 0
         return jnp.where(better, cand, t2)
 
@@ -180,13 +183,32 @@ def _em_solve(edge_cid, edge_tid, edge_mult, eumaps, reads, denom,
 
 
 def polish_host_f64(problem: SolverProblem, theta: np.ndarray,
-                    epsilon: float = 1e-9, max_cycles: int = 200
-                    ) -> np.ndarray:
-    """Short float64 SQUAREM polish on the host (bincount-based EM).
+                    epsilon: float = 1e-9, max_cycles: int = 200,
+                    native: Optional[bool] = None) -> np.ndarray:
+    """Short float64 SQUAREM polish on the host.
 
     Used after a float32 device solve to close the float32 convergence
     floor; starts at the device solution so only a handful of cycles run.
+    Runs in the C++ extension (csrc/solver.cc, same update rule) when
+    available; ``native=False`` forces the NumPy path (the differential
+    test pins the two against each other).
     """
+    if native is not False:
+        try:
+            from ..ingest import native as native_mod
+            th = np.ascontiguousarray(theta, dtype=np.float64).copy()
+            denom = problem.denom.astype(np.float64)
+            inv_denom = np.where(denom > 0, 1.0 /
+                                 np.where(denom > 0, denom, 1.0), 0.0)
+            native_mod.polish_squarem(
+                problem.edge_cid, problem.edge_tid, problem.edge_mult,
+                problem.eumaps, problem.reads, inv_denom, th,
+                epsilon, max_cycles)
+            return th
+        except RuntimeError:
+            if native:
+                raise
+
     e_cid = problem.edge_cid.astype(np.int64)
     e_tid = problem.edge_tid.astype(np.int64)
     mult = problem.edge_mult.astype(np.float64)
@@ -226,7 +248,8 @@ def polish_host_f64(problem: SolverProblem, theta: np.ndarray,
         vn = float(np.sqrt(np.sum(v * v)))
         alpha = -float(np.sqrt(np.sum(r * r))) / vn if vn > 0 else -1.0
         alpha = min(alpha, -1.0)
-        cand = em(np.maximum(th - 2.0 * alpha * r + alpha * alpha * v, 0.0))
+        extrap = th - 2.0 * alpha * r + alpha * alpha * v
+        cand = em(np.where(extrap > 0, extrap, t2))
         th = cand if gain(intens(t2), intens(cand)) >= 0 else t2
         s_new = intens(th)
         if gain(s_prev, s_new) < epsilon:
@@ -251,8 +274,14 @@ def solve(problem: SolverProblem, epsilon: float = 1e-9,
         # iterating past it wastes blocks without moving the estimate
         epsilon = max(epsilon, 1e-5)
     if theta0 is None:
-        # start from the unique-read estimate, floored to stay positive
-        theta0 = np.ones(ntid, dtype=dtype)
+        # read-attribution start: every segment's reads granted fully to
+        # each member transcript (upper-bound scale).  Halves the cycle
+        # count vs. all-ones; a transcript whose segments all have zero
+        # reads starts (and stays) at its optimum, zero.
+        num0 = np.zeros(ntid, dtype=np.float64)
+        np.add.at(num0, problem.edge_tid,
+                  problem.edge_mult * problem.reads[problem.edge_cid])
+        theta0 = num0 / np.where(problem.denom > 0, problem.denom, 1.0)
     theta0 = np.where(problem.denom > 0, theta0, 0.0).astype(dtype)
 
     theta, ll, it = _em_solve(

@@ -211,8 +211,10 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
         vn = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
         alpha = jnp.where(vn > 0, -rn / jnp.where(vn > 0, vn, 1.0), -1.0)
         alpha = jnp.minimum(alpha, -1.0)
-        cand = jnp.maximum(th - 2.0 * alpha * r + (alpha * alpha) * v, 0.0)
-        cand = em_iter(cand)
+        # zero-crossing coordinates fall back to the plain double-EM value
+        # (exact 0 is absorbing for multiplicative EM)
+        extrap = th - 2.0 * alpha * r + (alpha * alpha) * v
+        cand = em_iter(jnp.where(extrap > 0, extrap, t2))
         better = (gain_of(intensities(t2), intensities(cand)) >= 0)[:, None]
         return jnp.where(better, cand, t2)
 
