@@ -242,11 +242,12 @@ void set_error(const std::string& msg) { g_error = msg; }
 struct RangeLineReader {
     LineReader rd;
     int64_t budget;
+    bool truncated = false;  // last -1 came from the byte budget, not EOF
     RangeLineReader(FILE* f, int64_t b) : rd(f), budget(b) {}
     ssize_t next(char** line) {
-        if (budget == 0) return -1;
+        if (budget == 0) { truncated = true; return -1; }
         ssize_t len = rd.next(line);
-        if (len < 0) return len;
+        if (len < 0) { truncated = false; return len; }
         if (budget > 0) {
             budget -= len + 1;
             if (budget < 0) budget = 0;
@@ -254,6 +255,23 @@ struct RangeLineReader {
         return len;
     }
 };
+
+// Strict mate check for the boundary scan: unlike the reference's
+// asymmetric quirk (mate_id_match accepts any same-length '.../1','.../2'
+// without comparing prefixes, src/alignment.c:113-126), the scan also
+// compares prefixes in that case — otherwise a mate2-first-ordered file
+// with uniform-length ids never yields a boundary and parallel ingest
+// silently degrades to one effective worker.  Workers still apply the
+// quirky reference check; a stricter boundary only splits *between* real
+// pairs, so results are unchanged.
+int mate_id_match_strict(std::string_view a, std::string_view b) {
+    size_t n = a.size();
+    if (n >= 2 && n == b.size() && a[n - 2] == '/' && b[n - 2] == '/' &&
+        a[n - 1] == '1' && b[n - 1] == '2' &&
+        a.substr(0, n - 2) != b.substr(0, n - 2))
+        return 0;
+    return mate_id_match(a, b);
+}
 
 // first byte offset at or after `from` that starts a new read group
 // (SE: read id differs from the previous line's; PE: ids are not mates)
@@ -273,7 +291,8 @@ int64_t bowtie_group_boundary(FILE* fh, int64_t from, int64_t fsize, int pe) {
         const char* tab = (const char*)memchr(line, '\t', (size_t)len);
         std::string_view id(line, tab ? (size_t)(tab - line) : (size_t)len);
         if (!prev_id.empty()) {
-            bool same = pe ? mate_id_match(prev_id, id) != 0 : id == prev_id;
+            bool same =
+                pe ? mate_id_match_strict(prev_id, id) != 0 : id == prev_id;
             if (!same) return off;
         }
         prev_id.assign(id.data(), id.size());
@@ -324,7 +343,21 @@ int bowtie_worker(FILE* fh, int64_t budget, int pe, int strand_code,
         std::vector<char> line1buf;
         while (rd.next(&line) >= 0) {
             line1buf.assign(line, line + strlen(line) + 1);
-            if (rd.next(&line) < 0) break;
+            if (rd.next(&line) < 0) {
+                // A worker's byte range may only end at a read-group
+                // boundary; running out of budget mid-pair means the
+                // boundary scan failed — fail loudly instead of silently
+                // dropping the dangling line (thread-count-independent
+                // behavior).  At true EOF the dangling line is skipped:
+                // the reference parses a stale buffer there (UB,
+                // src/emsar_functions.c:810 fgets return unchecked).
+                if (rd.truncated) {
+                    set_error("paired-end range split mid-pair; mate read "
+                              "IDs don't match; check bowtie out format");
+                    rc = -4;
+                }
+                break;
+            }
             if (!split_bowtie(line1buf.data(), 0, &f1) ||
                 !split_bowtie(line, 0, &f2)) {
                 set_error("input alignment file doesn't look like bowtieout "

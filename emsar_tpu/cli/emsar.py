@@ -131,8 +131,19 @@ def main(argv=None) -> int:
             cfg.aln_format = "sam"
         elif o in ("-W", "--posbias_training_len"):
             cfg.perpos_freq_len = int(a)
+            if cfg.perpos_freq_len <= 0 or cfg.perpos_freq_len >= 10000:
+                die("error: Option -W(--posbias_training_len) must be "
+                    "between 1 and 10000.")
         elif o in ("-w", "--posbias_impute_len"):
+            # validated and echoed for parity; the reference's only
+            # consumer is the unfinished (never-called)
+            # determine_scaling_factor_for_perpos_prob
+            # (src/emsar_functions.c:2559-2577), so it affects no output
             cfg.perpos_freq_impute_len = int(a)
+            if (cfg.perpos_freq_impute_len <= 0
+                    or cfg.perpos_freq_impute_len > cfg.perpos_freq_len):
+                die("error: Option -w(--posbias_impute_len) must be "
+                    "between 1 and posbias_training_len.")
         elif o in ("-T", "--print_sfa"):
             cfg.print_sfa = True
         elif o in ("-R", "--print_rsh"):
@@ -160,6 +171,9 @@ def main(argv=None) -> int:
     except ValueError:
         die("error: invalid strand type.")
 
+    if cfg.verbose > 0:
+        _echo_params(cfg, fastafile, rshfile, strand_str)
+
     if len(args) < 2:
         usage("emsar")
         return 0
@@ -183,6 +197,40 @@ def main(argv=None) -> int:
     os.makedirs(outdir, exist_ok=True)
     setup_jax()
     return run_quantifier(cfg, fastafile, rshfile, outdir, outprefix, alnfiles)
+
+
+def _echo_params(cfg: QuantConfig, fastafile: str, rshfile: str,
+                 strand_str: str) -> None:
+    """Startup parameter echo (reference src/emsar_main.c:225-248)."""
+    fmt = {"bowtie": "default bowtie output", "sam": "SAM",
+           "bam": "BAM"}[cfg.aln_format]
+    print(f"input fastafile name= {fastafile}")
+    print(f"input rshfile name= {rshfile}")
+    print(f"Input type= {fmt}")
+    print(f"Paired-end= {'y' if cfg.pe else 'n'}")
+    print(f"strand type= {strand_str}")
+    print(f"Multisample= {'y' if cfg.multisample else 'n'}")
+    print(f"Max_Fraglen= {cfg.max_fraglength}")
+    print(f"Min_Fraglen= {cfg.min_fraglength}")
+    print(f"MAX_REPEAT= {cfg.max_repeat}")
+    # exact "%d %s" spelling: trailing space when posmodel != 0
+    print(f"bias model= {cfg.posmodel} "
+          f"{'(no bias model)' if cfg.posmodel == 0 else ''}")
+    print(f"positional bias training length= {cfg.perpos_freq_len}")
+    print(f"positional bias impute training length= "
+          f"{cfg.perpos_freq_impute_len}")
+    print(f"fasta header option= {cfg.header_fmt}")
+    print(f"MAX_Thread= {cfg.max_threads}")
+    print(f"NUM_ROUND= {cfg.num_round}")
+    print(f"CONVERGENCE_EPSILON= {cfg.epsilon:g}")
+    print(f"CONVERGENCE_EPSILON_STEPSIZE= {cfg.epsilon_stepsize:g}")
+    print(f"MAX_NITER_MLE= {cfg.max_niter_mle}")
+    print(f"MAX_NLOOP_MLE= {cfg.max_nloop_mle}")
+    print(f"binsize = {cfg.binsize}")
+    print(f"taglen = {cfg.taglen}")
+    print(f"print segments = {'y' if cfg.print_segments else 'n'}")
+    print(f"print suffix aray = {'y' if cfg.print_sfa else 'n'}")
+    print(f"print rsh structure = {'y' if cfg.print_rsh else 'n'}")
 
 
 def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,

@@ -38,6 +38,13 @@ def main(argv=None) -> int:
 
     cfg = BuildConfig()
     strand_str = "ns"
+    # positional-bias build surface: validated + echoed for parity (the
+    # reference builder also only validates/echoes these,
+    # src/emsar_build_main.c:96-112; -m feeds the *_posbias bucket
+    # builders whose poscat output is never read back, src/emsar.h:81)
+    posmodel = 0
+    perpos_freq_len = 1000
+    perpos_freq_impute_len = 200
     try:
         opts, args = getopt.gnu_getopt(argv, SHORT, LONG)
     except getopt.GetoptError as e:
@@ -69,9 +76,19 @@ def main(argv=None) -> int:
             cfg.verbose = 2
         elif o in ("-q", "--no_verbose"):
             cfg.verbose = 0
-        elif o in ("-m", "-W", "-w", "--bias_model",
-                   "--posbias_training_len", "--posbias_impute_len"):
-            pass  # positional-bias build surface: accepted for parity
+        elif o in ("-m", "--bias_model"):
+            posmodel = int(a)
+        elif o in ("-W", "--posbias_training_len"):
+            perpos_freq_len = int(a)
+            if perpos_freq_len <= 0 or perpos_freq_len >= 10000:
+                die("error: Option -W(--posbias_training_len) must be "
+                    "between 1 and 10000.")
+        elif o in ("-w", "--posbias_impute_len"):
+            perpos_freq_impute_len = int(a)
+            if (perpos_freq_impute_len <= 0
+                    or perpos_freq_impute_len > perpos_freq_len):
+                die("error: Option -w(--posbias_impute_len) must be "
+                    "between 1 and posbias_training_len.")
 
     if cfg.min_fraglength > cfg.max_fraglength or cfg.min_fraglength < 1 \
             or cfg.max_fraglength < 1:
@@ -80,6 +97,24 @@ def main(argv=None) -> int:
         cfg.strand = StrandType.parse(strand_str, cfg.pe)
     except ValueError:
         die("error: invalid strand type.")
+
+    if cfg.verbose > 0:
+        # startup parameter echo (reference src/emsar_build_main.c:131-145)
+        print(f"Paired-end= {'y' if cfg.pe else 'n'}")
+        print(f"strand type= {strand_str}")
+        print(f"Max_Fraglen= {cfg.max_fraglength}")
+        print(f"Min_Fraglen= {cfg.min_fraglength}")
+        print(f"MAX_REPEAT= {cfg.max_repeat}")
+        print(f"bias model= {posmodel} "
+              f"{'(no bias model)' if posmodel == 0 else ''}")
+        print(f"positional bias training length= {perpos_freq_len}")
+        print(f"positional bias impute training length= "
+              f"{perpos_freq_impute_len}")
+        print(f"fasta header option= {cfg.header_fmt}")
+        print(f"MAX_Thread= {cfg.max_threads}")
+        print(f"binsize = {cfg.binsize}")
+        print(f"taglen = {cfg.taglen}")
+        print(f"print suffix aray = {'y' if cfg.print_sfa else 'n'}")
 
     if len(args) < 4:
         usage("emsar-build")

@@ -202,7 +202,12 @@ class NativeCollapser:
         rl = ctypes.c_int64(readlength_holder[0] if readlength_holder else -1)
 
         if nthreads <= 0:
-            nthreads = os.cpu_count() or 1
+            # cgroup/affinity-aware CPU count (os.cpu_count() reports the
+            # physical host and oversubscribes in constrained containers)
+            try:
+                nthreads = len(os.sched_getaffinity(0))
+            except (AttributeError, OSError):
+                nthreads = os.cpu_count() or 1
         if fmt == "bowtie":
             rc = self._lib.emsar_ingest_bowtie(
                 path.encode(), int(pe), strand_code, max_repeat,
