@@ -633,60 +633,103 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     mem_n = int(np.asarray(state["mem_n"]))
     mem_sg = fetch(state["mem_sg"], mem_n)
     mem_tid = fetch(state["mem_tid"], mem_n)
+    mem_chunk = None
+    if "mem_chunk" in state:
+        mem_chunk = fetch(state["mem_chunk"], mem_n)
     dense = np.asarray(state["dense"]).reshape(tx.n_transcripts, nfl)
 
-    # resolve exemplar multisets, verify against their hashes
-    resolved: Dict[Tuple[int, int, int], np.ndarray] = {}
+    # resolve exemplar multisets (vectorized: member rows grouped by their
+    # claiming run id, per-group multiset-hash recomputed on host).  A
+    # run id may repeat across chunks when the builder partitions; the
+    # (chunk, run) pair is then the group key.
     if mem_n:
-        order = np.argsort(mem_sg, kind="stable")
-        sg_s = mem_sg[order]
-        tid_s = mem_tid[order]
-        bounds = np.concatenate(
-            [[0], np.flatnonzero(sg_s[1:] != sg_s[:-1]) + 1, [mem_n]])
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            tids = np.sort(tid_s[a:b]).astype(np.int32)
-            h1, h2, h3 = multiset_hash_np(tids)
-            key = (h1, h2, h3 & 0xFFFFFE00)
-            prev = resolved.get(key)
-            if prev is not None:
-                if len(prev) != len(tids) or (prev != tids).any():
-                    raise DeviceBuildOverflow(
-                        "multiset hash collision between exemplars")
-            else:
-                resolved[key] = tids
+        if mem_chunk is not None:
+            order = np.lexsort((mem_tid, mem_sg, mem_chunk))
+            sg_s = mem_sg[order]
+            ck_s = mem_chunk[order]
+            newgrp = np.concatenate([[True], (sg_s[1:] != sg_s[:-1]) |
+                                     (ck_s[1:] != ck_s[:-1])])
+        else:
+            order = np.lexsort((mem_tid, mem_sg))
+            sg_s = mem_sg[order]
+            newgrp = np.concatenate([[True], sg_s[1:] != sg_s[:-1]])
+        tid_s = mem_tid[order].astype(np.int32)  # sorted within each group
+        starts = np.flatnonzero(newgrp)
+        g_sizes = np.diff(np.append(starts, mem_n))
+        lanes = sig_lanes_np(tid_s).astype(np.uint64)
+        gl = np.add.reduceat(lanes, starts, axis=0) & np.uint64(0xFFFFFFFF)
+        ex_keys = np.stack([gl[:, 0], gl[:, 1],
+                            gl[:, 2] & np.uint64(0xFFFFFE00)],
+                           axis=1).astype(np.uint32)
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+        g_sizes = np.zeros(0, dtype=np.int64)
+        tid_s = np.empty(0, dtype=np.int32)
+        ex_keys = np.zeros((0, 3), dtype=np.uint32)
+    G = len(starts)
 
-    # group unique rows by signature
+    # rows -> exemplar groups via one unique() over the stacked 87-bit keys
     fl_ind = (uh3fl & np.uint32(0x1FF)).astype(np.int64)
     k3 = uh3fl & np.uint32(0xFFFFFE00)
-    sig_of_row: Dict[Tuple[int, int, int], int] = {}
-    sig_list: List[np.ndarray] = []
-    row_sig = np.empty(rows, dtype=np.int64)
-    for r in range(rows):
-        key = (int(uh1[r]), int(uh2[r]), int(k3[r]))
-        s = sig_of_row.get(key)
-        if s is None:
-            tids = resolved.get(key)
-            if tids is None:
-                raise DeviceBuildOverflow(
-                    "unresolved signature (claim-table collision)")
-            s = len(sig_list)
-            sig_of_row[key] = s
-            sig_list.append(tids)
-        row_sig[r] = s
+    row_keys = np.stack([uh1, uh2, k3], axis=1).astype(np.uint32)
+    uniq, inv = np.unique(np.concatenate([ex_keys, row_keys]), axis=0,
+                          return_inverse=True)
+    ex_uid, row_uid = inv[:G], inv[G:]
+    group_of_uid = np.full(len(uniq), -1, dtype=np.int64)
+    # last writer wins; duplicates are verified identical below
+    group_of_uid[ex_uid] = np.arange(G)
+    # exemplar hash collision check: two groups sharing a key must have
+    # identical content (otherwise a ~2^-44 multiset-hash alias — abort to
+    # the fallback backend rather than merging EUMA rows silently)
+    cnt_per_uid = np.bincount(ex_uid, minlength=len(uniq))
+    if (cnt_per_uid > 1).any():
+        dup_uids = np.flatnonzero(cnt_per_uid > 1)
+        for u in dup_uids:
+            gs = np.flatnonzero(ex_uid == u)
+            first = gs[0]
+            a = tid_s[starts[first]:starts[first] + g_sizes[first]]
+            for g in gs[1:]:
+                b = tid_s[starts[g]:starts[g] + g_sizes[g]]
+                if len(a) != len(b) or (a != b).any():
+                    raise DeviceBuildOverflow(
+                        "multiset hash collision between exemplars")
 
-    n_sig = len(sig_list)
+    row_grp = group_of_uid[row_uid]
+    if (row_grp < 0).any():
+        raise DeviceBuildOverflow(
+            "unresolved signature (claim-table collision)")
+
+    # compact to the signatures that actually occur in rows
+    used_grp, row_sig = np.unique(row_grp, return_inverse=True)
+    n_sig = len(used_grp)
+    sizes_u = g_sizes[used_grp]
     euma = np.zeros((n_sig, nfl), dtype=np.int64)
     np.add.at(euma, (row_sig, fl_ind), ucnt.astype(np.int64))
 
-    # canonical (size, tid tuple) order (reference print_rsh row order)
-    canon = sorted(range(n_sig),
-                   key=lambda s: (len(sig_list[s]), tuple(sig_list[s])))
-    euma = euma[canon] if n_sig else euma
-    sizes = np.array([len(sig_list[s]) for s in canon], dtype=np.int64)
-    sig_offsets = np.zeros(n_sig + 1, dtype=np.int64)
-    np.cumsum(sizes, out=sig_offsets[1:])
-    sig_tids = (np.concatenate([sig_list[s] for s in canon])
-                if n_sig else np.empty(0, np.int32))
+    # canonical (size, tid tuple) order (reference print_rsh row order):
+    # padded-matrix lexsort, vectorized like SignatureAccumulator.finalize
+    if n_sig:
+        max_sz = int(sizes_u.max())
+        padded = np.full((n_sig, max_sz), np.iinfo(np.int32).max,
+                         dtype=np.int32)
+        rep = np.repeat(np.arange(n_sig), sizes_u)
+        pos = (np.arange(int(sizes_u.sum()))
+               - np.repeat(np.cumsum(sizes_u) - sizes_u, sizes_u))
+        take = np.repeat(starts[used_grp], sizes_u) + pos
+        padded[rep, pos] = tid_s[take]
+        keys = [padded[:, c] for c in range(max_sz - 1, -1, -1)] + [sizes_u]
+        canon = np.lexsort(tuple(keys))
+        euma = euma[canon]
+        sizes = sizes_u[canon].astype(np.int64)
+        sig_offsets = np.zeros(n_sig + 1, dtype=np.int64)
+        np.cumsum(sizes, out=sig_offsets[1:])
+        pos_out = (np.arange(int(sig_offsets[-1]))
+                   - np.repeat(sig_offsets[:-1], sizes))
+        take = np.repeat(starts[used_grp[canon]], sizes) + pos_out
+        sig_tids = tid_s[take]
+    else:
+        sig_offsets = np.zeros(1, dtype=np.int64)
+        sig_tids = np.empty(0, dtype=np.int32)
 
     return RshIndex(names=list(tx.names), readlength=readlength_hdr,
                     min_fraglength=fl_min, max_fraglength=fl_max,
