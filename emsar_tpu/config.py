@@ -101,6 +101,8 @@ class QuantConfig:
     batch_samples: bool = False  # -M: one batched device solve over samples
     solver_mode: str = "auto"  # 'auto' (dense batches + CSR rest) | 'csr'
     solver_pallas: bool = False  # VMEM-resident Pallas EM blocks
-    solver_dtype: str = "float64"  # 'float32' | 'float64'
+    # 'auto': float64 on CPU, float32 (+ host f64 polish) on TPU — f64 EM
+    # on the TPU is both slow and (on this tunnel) compile-hostile
+    solver_dtype: str = "auto"  # 'auto' | 'float32' | 'float64'
     solver_block_iters: int = 8  # SQUAREM cycles fused per convergence check
     rng_seed: Optional[int] = None

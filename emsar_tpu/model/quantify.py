@@ -37,6 +37,17 @@ class QuantResult:
     em_blocks: int
 
 
+def _resolve_dtype(cfg: QuantConfig):
+    """'auto' = float64 on CPU (exact), float32 + f64 polish on accelerators
+    (f64 matmuls are emulated and slow on the TPU MXU)."""
+    if cfg.solver_dtype == "float64":
+        return np.float64
+    if cfg.solver_dtype == "float32":
+        return np.float32
+    import jax
+    return np.float64 if jax.devices()[0].platform == "cpu" else np.float32
+
+
 def compute_wf(index: RshIndex, fraglength_counts: np.ndarray) -> np.ndarray:
     """Empirical fragment-length sampling probability (reference:
     transfer_fraglendist_to_Wf, src/emsar_functions.c:2503-2513)."""
@@ -66,7 +77,7 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
         # EUMAps (reference construct_EUMAps :3148-3154)
         eumaps = adj_euma / 1e3 * (counts.total_read_count / 1e6) \
             * (10.0 ** cfg.delta)
-        dtype = np.float64 if cfg.solver_dtype == "float64" else np.float32
+        dtype = _resolve_dtype(cfg)
         # the problem keeps f64 masters; solve() casts to the device dtype
         problem = build_problem(graph, modules, eumaps, read_count,
                                 dtype=np.float64)
@@ -98,11 +109,28 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
         np.add.at(ieuma, graph.ct_tids,
                   np.repeat(adj_euma, sizes))
 
-    fpkm_rounds = np.broadcast_to(fpkm, (cfg.num_round, len(fpkm))).copy()
+    fpkm_rounds = _make_rounds(problem, fpkm, cfg, dtype)
     return QuantResult(fpkm=fpkm, fpkm_rounds=fpkm_rounds, ieuma=ieuma,
                        adj_euma=adj_euma, wf=wf, graph=graph, modules=modules,
                        total_read_count=counts.total_read_count,
                        loglik=ll, em_blocks=blocks)
+
+
+def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
+                 ) -> np.ndarray:
+    """[num_round, ntid] FPKM rounds: round 0 is the deterministic solve
+    (golden-stable), rounds 1..n-1 are random-restart solves whose spread
+    across the flat maximizer manifold populates sd.of.FPKM (reference
+    NUM_ROUND loop, src/emsar_main.c:441-450)."""
+    if cfg.num_round <= 1:
+        return fpkm[None, :].copy()
+    with phase("restart rounds", cfg.verbose):
+        from .solver import solve_restart_rounds
+        extra = solve_restart_rounds(
+            problem, cfg.num_round - 1, epsilon=cfg.epsilon,
+            max_iters=cfg.max_niter_mle, block_iters=cfg.solver_block_iters,
+            dtype=dtype, seed=cfg.rng_seed if cfg.rng_seed is not None else 0)
+    return np.concatenate([fpkm[None, :], extra], axis=0)
 
 
 def _host_loglik(problem, theta: np.ndarray) -> float:
@@ -214,7 +242,7 @@ def quantify_samples_batched(index: RshIndex, counts_list, cfg: QuantConfig,
                             denom=denom_mat[0])
     if mesh is None:
         mesh = make_mesh()
-    dtype = np.float64 if cfg.solver_dtype == "float64" else np.float32
+    dtype = _resolve_dtype(cfg)
     sp = shard_problem(problem, R_mat, mesh, dtype=dtype,
                        eumaps_per_sample=E_mat, denom_per_sample=denom_mat)
     theta, ll, blocks = solve_sharded(sp, epsilon=max(cfg.epsilon, 1e-5)
@@ -226,16 +254,16 @@ def quantify_samples_batched(index: RshIndex, counts_list, cfg: QuantConfig,
     ct_rep = np.repeat(np.arange(graph.n_cid), sizes)
     for s in range(S):
         fpkm = theta[s]
+        ps = SolverProblem(n_transcripts=ntid, edge_cid=e_cid,
+                           edge_tid=e_tid, edge_mult=e_mult,
+                           eumaps=E_mat[s], reads=R_mat[s],
+                           denom=denom_mat[s])
         if dtype == np.float32:
-            ps = SolverProblem(n_transcripts=ntid, edge_cid=e_cid,
-                               edge_tid=e_tid, edge_mult=e_mult,
-                               eumaps=E_mat[s], reads=R_mat[s],
-                               denom=denom_mat[s])
             fpkm = polish_host_f64(ps, fpkm, epsilon=max(cfg.epsilon, 1e-9),
                                    max_cycles=200)
         ieuma = np.zeros(ntid)
         np.add.at(ieuma, graph.ct_tids, adjs[s][ct_rep])
-        fpkm_rounds = np.broadcast_to(fpkm, (cfg.num_round, ntid)).copy()
+        fpkm_rounds = _make_rounds(ps, fpkm, cfg, dtype)
         graph_s = dataclasses.replace(graph, adj_euma=adjs[s],
                                       read_count=rcs[s])
         results.append(QuantResult(

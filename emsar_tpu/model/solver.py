@@ -258,6 +258,53 @@ def polish_host_f64(problem: SolverProblem, theta: np.ndarray,
     return th
 
 
+def solve_restart_rounds(problem: SolverProblem, n_rounds: int,
+                         epsilon: float = 1e-9, max_iters: int = 200000,
+                         block_iters: int = 8, dtype=np.float32,
+                         seed: int = 0, polish: bool = True) -> np.ndarray:
+    """``n_rounds`` EM solves from independent uniform(0,100) inits, vmapped
+    into one device program.
+
+    This gives ``-n``/sd.of.FPKM its reference semantics: the reference
+    re-runs the full MLE NUM_ROUND times from fresh ``rand()`` inits in
+    [0,100) (src/emsar_functions.c:3077-3080; round loop
+    src/emsar_main.c:441-450) purely to estimate estimator variance — on
+    non-identifiable collinear modules different inits land on different
+    points of the flat maximizer manifold, and the sd column reports that
+    spread.  Unlike the reference (srand(time)), inits here are seeded
+    deterministically so runs are reproducible.
+
+    Returns theta [n_rounds, ntid] (float64).
+    """
+    ntid = problem.n_transcripts
+    n_seg = len(problem.eumaps)
+    rng = np.random.default_rng(np.uint64(0x5EED_0000) + np.uint64(seed))
+    inits = rng.uniform(0.0, 100.0, size=(n_rounds, ntid))
+    inits = np.where(problem.denom[None, :] > 0, inits, 0.0).astype(dtype)
+    if n_seg == 0 or n_rounds == 0:
+        return np.zeros((n_rounds, ntid), dtype=np.float64)
+    if np.dtype(dtype) == np.float32:
+        epsilon = max(epsilon, 1e-5)
+
+    run = jax.vmap(
+        lambda th0: _em_solve(
+            jnp.asarray(problem.edge_cid), jnp.asarray(problem.edge_tid),
+            jnp.asarray(problem.edge_mult.astype(dtype)),
+            jnp.asarray(problem.eumaps.astype(dtype)),
+            jnp.asarray(problem.reads.astype(dtype)),
+            jnp.asarray(problem.denom.astype(dtype)), th0,
+            n_transcripts=ntid, n_segments=n_seg,
+            block_iters=block_iters, max_iters=max_iters,
+            epsilon=jnp.asarray(epsilon, dtype)))
+    theta, _, _ = run(jnp.asarray(inits))
+    theta = np.asarray(theta).astype(np.float64)
+    if polish and np.dtype(dtype) == np.float32:
+        for r in range(n_rounds):
+            theta[r] = polish_host_f64(problem, theta[r],
+                                       epsilon=1e-9, max_cycles=200)
+    return theta
+
+
 def solve(problem: SolverProblem, epsilon: float = 1e-9,
           max_iters: int = 200000, block_iters: int = 8,
           dtype=None, theta0: Optional[np.ndarray] = None
