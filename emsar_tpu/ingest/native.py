@@ -22,8 +22,17 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+def _find_csrc() -> str:
+    """csrc/ directory: repo layout first, then installed data-files."""
+    repo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "csrc")
+    if os.path.exists(os.path.join(repo, "ingest.cc")):
+        return repo
+    installed = os.path.join(sys.prefix, "share", "emsar-tpu", "csrc")
+    return installed
+
+
+_CSRC = _find_csrc()
 _SRCS = [os.path.join(_CSRC, "ingest.cc"), os.path.join(_CSRC, "solver.cc")]
 _SO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
 _SO = os.path.join(_SO_DIR, "libemsar_ingest.so")
