@@ -19,6 +19,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -604,6 +605,63 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
 
 namespace {
 
+// Read one raw BGZF block (compressed payload + isize) without inflating.
+// Returns 1 = block read, 0 = clean EOF, -1 = error (g_error set).
+int read_bgzf_block_raw(FILE* fh, std::vector<uint8_t>& cdata,
+                        size_t* cdata_len, uint32_t* isize) {
+    uint8_t hdr[12];
+    size_t got = fread(hdr, 1, 12, fh);
+    if (got == 0) return 0;
+    if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+        set_error("not a BGZF/gzip file");
+        return -1;
+    }
+    uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+    uint8_t extra[65536];
+    if (fread(extra, 1, xlen, fh) != xlen) {
+        set_error("truncated BGZF header");
+        return -1;
+    }
+    int bsize = -1;
+    for (size_t off = 0; off + 4 <= (size_t)xlen;) {
+        uint8_t si1 = extra[off], si2 = extra[off + 1];
+        uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
+        if (si1 == 66 && si2 == 67 && slen == 2)
+            bsize = extra[off + 4] | (extra[off + 5] << 8);
+        off += 4 + slen;
+    }
+    if (bsize < 0) {
+        set_error("missing BGZF BC subfield");
+        return -1;
+    }
+    size_t clen = (size_t)bsize - xlen - 19;
+    cdata.resize(clen + 8);
+    if (fread(cdata.data(), 1, clen + 8, fh) != clen + 8) {
+        set_error("truncated BGZF block");
+        return -1;
+    }
+    *cdata_len = clen;
+    *isize = (uint32_t)(cdata[clen + 4] | (cdata[clen + 5] << 8) |
+                        (cdata[clen + 6] << 16) |
+                        ((uint32_t)cdata[clen + 7] << 24));
+    return 1;
+}
+
+// Inflate one raw BGZF payload into out[0..isize).  Thread-safe.
+bool inflate_bgzf_block(const uint8_t* cdata, size_t cdata_len, uint8_t* out,
+                        uint32_t isize) {
+    if (isize == 0) return true;
+    z_stream zs{};
+    inflateInit2(&zs, -15);
+    zs.next_in = const_cast<uint8_t*>(cdata);
+    zs.avail_in = (uInt)cdata_len;
+    zs.next_out = out;
+    zs.avail_out = isize;
+    int zrc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return zrc == Z_STREAM_END;
+}
+
 struct BgzfReader {
     FILE* fh;
     std::vector<uint8_t> out;   // decompressed buffer
@@ -612,49 +670,14 @@ struct BgzfReader {
     explicit BgzfReader(FILE* f) : fh(f) { out.reserve(1 << 17); }
 
     bool fill() {
-        // read one BGZF block
-        uint8_t hdr[12];
-        size_t got = fread(hdr, 1, 12, fh);
-        if (got == 0) {
+        std::vector<uint8_t> cdata;
+        size_t cdata_len;
+        uint32_t isize;
+        int rc = read_bgzf_block_raw(fh, cdata, &cdata_len, &isize);
+        if (rc <= 0) {
             eof = true;
             return false;
         }
-        if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
-            set_error("not a BGZF/gzip file");
-            eof = true;
-            return false;
-        }
-        uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
-        std::vector<uint8_t> extra(xlen);
-        if (fread(extra.data(), 1, xlen, fh) != xlen) {
-            set_error("truncated BGZF header");
-            eof = true;
-            return false;
-        }
-        int bsize = -1;
-        for (size_t off = 0; off + 4 <= extra.size();) {
-            uint8_t si1 = extra[off], si2 = extra[off + 1];
-            uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
-            if (si1 == 66 && si2 == 67 && slen == 2)
-                bsize = extra[off + 4] | (extra[off + 5] << 8);
-            off += 4 + slen;
-        }
-        if (bsize < 0) {
-            set_error("missing BGZF BC subfield");
-            eof = true;
-            return false;
-        }
-        size_t cdata_len = (size_t)bsize - xlen - 19;
-        std::vector<uint8_t> cdata(cdata_len + 8);
-        if (fread(cdata.data(), 1, cdata_len + 8, fh) != cdata_len + 8) {
-            set_error("truncated BGZF block");
-            eof = true;
-            return false;
-        }
-        uint32_t isize = (uint32_t)(cdata[cdata_len + 4] |
-                                    (cdata[cdata_len + 5] << 8) |
-                                    (cdata[cdata_len + 6] << 16) |
-                                    ((uint32_t)cdata[cdata_len + 7] << 24));
         size_t keep = out.size() - pos;
         if (pos > 0) {
             memmove(out.data(), out.data() + pos, keep);
@@ -663,20 +686,11 @@ struct BgzfReader {
         }
         size_t base = out.size();
         out.resize(base + isize);
-        if (isize > 0) {
-            z_stream zs{};
-            inflateInit2(&zs, -15);
-            zs.next_in = cdata.data();
-            zs.avail_in = (uInt)cdata_len;
-            zs.next_out = out.data() + base;
-            zs.avail_out = isize;
-            int zrc = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
-            if (zrc != Z_STREAM_END) {
-                set_error("BGZF inflate failed");
-                eof = true;
-                return false;
-            }
+        if (!inflate_bgzf_block(cdata.data(), cdata_len, out.data() + base,
+                                isize)) {
+            set_error("BGZF inflate failed");
+            eof = true;
+            return false;
         }
         return true;
     }
@@ -699,6 +713,55 @@ struct BamRec {
     std::string md;
     bool has_md;
 };
+
+// Decode one BAM record body (p points after the 4-byte block_size).
+void parse_bam_record(const uint8_t* p, int32_t block_size, BamRec* r) {
+    int32_t ref_id, pos;
+    memcpy(&ref_id, p, 4);
+    memcpy(&pos, p + 4, 4);
+    uint8_t l_read_name = p[8];
+    uint16_t n_cigar = (uint16_t)(p[12] | (p[13] << 8));
+    uint16_t flag = (uint16_t)(p[14] | (p[15] << 8));
+    int32_t l_seq;
+    memcpy(&l_seq, p + 16, 4);
+    r->qname.assign((const char*)p + 32, (size_t)l_read_name - 1);
+    r->ref_id = ref_id;
+    r->pos = pos;
+    r->flag = flag;
+    r->l_seq = l_seq;
+    size_t aux_off = 32 + l_read_name + 4 * (size_t)n_cigar +
+                     ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+    r->has_md = false;
+    size_t off = aux_off;
+    auto aux_size = [](uint8_t t) -> size_t {
+        switch (t) {
+            case 'A': case 'c': case 'C': return 1;
+            case 's': case 'S': return 2;
+            case 'i': case 'I': case 'f': return 4;
+            default: return 0;
+        }
+    };
+    while (off + 3 <= (size_t)block_size) {
+        uint8_t t1 = p[off], t2 = p[off + 1], vt = p[off + 2];
+        off += 3;
+        if (vt == 'Z' || vt == 'H') {
+            size_t z = off;
+            while (z < (size_t)block_size && p[z]) z++;
+            if (t1 == 'M' && t2 == 'D') {
+                r->md.assign((const char*)p + off, z - off);
+                r->has_md = true;
+            }
+            off = z + 1;
+        } else if (vt == 'B') {
+            uint8_t sub = p[off];
+            int32_t count;
+            memcpy(&count, p + off + 1, 4);
+            off += 5 + aux_size(sub) * (size_t)count;
+        } else {
+            off += aux_size(vt);
+        }
+    }
+}
 
 struct BamReader {
     BgzfReader bgzf;
@@ -745,61 +808,19 @@ struct BamReader {
             set_error("truncated BAM record");
             return -1;
         }
-        int32_t ref_id, pos;
-        memcpy(&ref_id, p, 4);
-        memcpy(&pos, p + 4, 4);
-        uint8_t l_read_name = p[8];
-        uint16_t n_cigar = (uint16_t)(p[12] | (p[13] << 8));
-        uint16_t flag = (uint16_t)(p[14] | (p[15] << 8));
-        int32_t l_seq;
-        memcpy(&l_seq, p + 16, 4);
-        r->qname.assign((const char*)p + 32, (size_t)l_read_name - 1);
-        r->ref_id = ref_id;
-        r->pos = pos;
-        r->flag = flag;
-        r->l_seq = l_seq;
-        size_t aux_off = 32 + l_read_name + 4 * (size_t)n_cigar +
-                         ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
-        r->has_md = false;
-        size_t off = aux_off;
-        auto aux_size = [](uint8_t t) -> size_t {
-            switch (t) {
-                case 'A': case 'c': case 'C': return 1;
-                case 's': case 'S': return 2;
-                case 'i': case 'I': case 'f': return 4;
-                default: return 0;
-            }
-        };
-        while (off + 3 <= (size_t)block_size) {
-            uint8_t t1 = p[off], t2 = p[off + 1], vt = p[off + 2];
-            off += 3;
-            if (vt == 'Z' || vt == 'H') {
-                size_t z = off;
-                while (z < (size_t)block_size && p[z]) z++;
-                if (t1 == 'M' && t2 == 'D') {
-                    r->md.assign((const char*)p + off, z - off);
-                    r->has_md = true;
-                }
-                off = z + 1;
-            } else if (vt == 'B') {
-                uint8_t sub = p[off];
-                int32_t count;
-                memcpy(&count, p + off + 1, 4);
-                off += 5 + aux_size(sub) * (size_t)count;
-            } else {
-                off += aux_size(vt);
-            }
-        }
+        parse_bam_record(p, block_size, r);
         return 1;
     }
 };
 
-// minimal SAM text record source with the same interface
+// minimal SAM text record source with the same interface; byte-budgeted
+// for range-parallel ingest (budget < 0 = unlimited)
 struct SamReader {
-    LineReader rd;
+    RangeLineReader rd;
     std::vector<std::string> dummy;
     NameTable const* names;  // unused; SAM carries names inline
-    explicit SamReader(FILE* f) : rd(f), names(nullptr) {}
+    explicit SamReader(FILE* f, int64_t budget = -1)
+        : rd(f, budget), names(nullptr) {}
 
     // 1 = record, 0 = EOF, -1 = error.  ref name returned via rname.
     int next(BamRec* r, std::string* rname) {
@@ -854,9 +875,14 @@ struct SamReader {
     }
 };
 
+// rc -100: the record source ran out right after a mapped mate-1 record —
+// only possible when a parallel split landed on a pairing-frame crossing
+// (a qname group with an odd number of mapped records); the caller falls
+// back to the exact sequential pass.
 template <typename NextFn>
 int ingest_records(NextFn&& next_rec, int pe, int strand_code,
-                   Collapser& col, int64_t* readlength_io) {
+                   Collapser& col, int64_t* readlength_io,
+                   bool strict_tail = false) {
     BamRec r1, r2;
     int64_t readlength = *readlength_io;
     int rc;
@@ -875,7 +901,10 @@ int ingest_records(NextFn&& next_rec, int pe, int strand_code,
     while ((rc = next_rec(&r1)) == 1) {
         if (r1.ref_id < 0 || (r1.flag & 0x4)) continue;
         int rc2 = next_rec(&r2);
-        if (rc2 == 0) break;
+        if (rc2 == 0) {
+            if (strict_tail) return -100;
+            break;
+        }
         if (rc2 < 0) return rc2;
         if (r2.ref_id < 0 || (r2.flag & 0x4)) continue;  // skip broken pair
         if (readlength == -1) readlength = r1.l_seq;
@@ -917,6 +946,358 @@ int ingest_records(NextFn&& next_rec, int pe, int strand_code,
     return rc;
 }
 
+// ---------------------------------------------------------------------------
+// parallel BAM ingest: BGZF blocks inflate in parallel (they are
+// independently deflated), a cheap serial walk finds record and
+// qname-group boundaries in the decompressed stream, and group spans are
+// parsed+collapsed by workers into private buffers (the same exact-merge
+// discipline as the bowtie range split).  BAM records span BGZF blocks, so
+// unlike text formats the *compressed* file cannot be range-split; the
+// pipeline below parallelizes the two expensive stages instead.
+// ---------------------------------------------------------------------------
+
+struct IngestPriv {
+    std::vector<int64_t> single, multi, hist;
+    Counts counts;
+    int rc = 0;
+    int64_t readlength = -1;
+    std::string error;
+};
+
+void init_privs(std::vector<IngestPriv>& priv, const NameTable* names,
+                const SigTable* sigs, int64_t hist_size,
+                int64_t readlength0) {
+    for (auto& p : priv) {
+        p.single.assign((size_t)names->n, 0);
+        p.multi.assign((size_t)sigs->n, 0);
+        p.hist.assign((size_t)hist_size, 0);
+        p.counts = Counts{p.single.data(), p.multi.data(), p.hist.data(),
+                          hist_size};
+        p.readlength = readlength0;
+    }
+}
+
+// merge private buffers; returns first nonzero rc (readlength conflicts
+// become rc -5)
+int merge_privs(std::vector<IngestPriv>& priv, const NameTable* names,
+                const SigTable* sigs, int64_t* single_counts,
+                int64_t* multi_counts, int64_t* fraglen_counts,
+                int64_t hist_size, int64_t* total_out,
+                int64_t* readlength_io) {
+    int rc = 0;
+    int64_t readlength = *readlength_io;
+    for (auto& p : priv) {
+        if (p.rc != 0 && rc == 0) {
+            rc = p.rc;
+            set_error(p.error);
+        }
+        if (p.readlength != -1) {
+            if (readlength == -1) readlength = p.readlength;
+            else if (readlength != p.readlength && rc == 0) {
+                set_error("paired-end data with variable read length is "
+                          "not supported");
+                rc = -5;
+            }
+        }
+    }
+    if (rc != 0) return rc;
+    int64_t total = 0;
+    for (auto& p : priv) {
+        for (int64_t i = 0; i < names->n; i++) single_counts[i] += p.single[i];
+        for (int64_t i = 0; i < sigs->n; i++) multi_counts[i] += p.multi[i];
+        for (int64_t i = 0; i < hist_size; i++)
+            fraglen_counts[i] += p.hist[i];
+        total += p.counts.total_read_count;
+    }
+    *total_out += total;
+    *readlength_io = readlength;
+    return 0;
+}
+
+// 0 ok, -100 = pairing frame crossed a split (caller reruns serially),
+// other negatives = hard errors
+int ingest_bam_parallel(FILE* fh, int pe, int strand_code,
+                        int64_t max_repeat, int64_t min_frag,
+                        int64_t max_frag, const NameTable* names,
+                        const SigTable* sigs, const uint8_t* has_single,
+                        int64_t* single_counts, int64_t* multi_counts,
+                        int64_t* fraglen_counts, int64_t hist_size,
+                        int64_t* total_out, int64_t* readlength_io,
+                        int nthreads) {
+    BamReader hdr_rd(fh);
+    if (!hdr_rd.open_header()) return -7;
+    // eager ref->tid map; unknown names only error when referenced
+    std::vector<int32_t> ref2tid(hdr_rd.ref_names.size(), -3);
+    for (size_t i = 0; i < hdr_rd.ref_names.size(); i++) {
+        auto it = names->map.find(hdr_rd.ref_names[i]);
+        if (it != names->map.end()) ref2tid[i] = it->second;
+    }
+
+    const int T = nthreads;
+    std::vector<IngestPriv> priv(T);
+    init_privs(priv, names, sigs, hist_size, *readlength_io);
+
+    // decompressed bytes already pulled while parsing the header
+    std::vector<uint8_t> carry(hdr_rd.bgzf.out.begin() +
+                                   (ptrdiff_t)hdr_rd.bgzf.pos,
+                               hdr_rd.bgzf.out.end());
+
+    const size_t SUPER = 48u << 20;  // decompressed bytes per super-chunk
+    bool at_eof = false;
+    std::vector<std::vector<uint8_t>> cdatas;
+    std::vector<size_t> clens, ooffs;
+    std::vector<uint32_t> isizes;
+    std::vector<uint8_t> decomp;
+    std::vector<size_t> grp_starts;
+
+    while (true) {
+        cdatas.clear();
+        clens.clear();
+        isizes.clear();
+        ooffs.clear();
+        size_t tot = 0;
+        while (!at_eof && tot < SUPER) {
+            std::vector<uint8_t> cd;
+            size_t cl;
+            uint32_t is;
+            int r = read_bgzf_block_raw(fh, cd, &cl, &is);
+            if (r < 0) return -7;
+            if (r == 0) {
+                at_eof = true;
+                break;
+            }
+            ooffs.push_back(carry.size() + tot);
+            tot += is;
+            cdatas.push_back(std::move(cd));
+            clens.push_back(cl);
+            isizes.push_back(is);
+        }
+        if (tot == 0 && carry.empty()) break;  // fully drained
+        decomp.resize(carry.size() + tot);
+        if (!carry.empty()) memcpy(decomp.data(), carry.data(), carry.size());
+        carry.clear();
+
+        {  // parallel inflate
+            std::atomic<size_t> next{0};
+            std::atomic<bool> zerr{false};
+            auto infl = [&]() {
+                size_t i;
+                while ((i = next.fetch_add(1)) < cdatas.size())
+                    if (!inflate_bgzf_block(cdatas[i].data(), clens[i],
+                                            decomp.data() + ooffs[i],
+                                            isizes[i]))
+                        zerr = true;
+            };
+            std::vector<std::thread> ths;
+            for (int t = 1; t < T; t++) ths.emplace_back(infl);
+            infl();
+            for (auto& th : ths) th.join();
+            if (zerr) {
+                set_error("BGZF inflate failed");
+                return -7;
+            }
+        }
+
+        // serial record walk: record starts + qname-group starts
+        grp_starts.clear();
+        size_t off = 0, last_complete = 0;
+        size_t prev_q = SIZE_MAX;
+        uint8_t prev_qlen = 0;
+        while (off + 4 <= decomp.size()) {
+            uint32_t bs;
+            memcpy(&bs, decomp.data() + off, 4);
+            if (bs < 32 || off + 4 + (size_t)bs > decomp.size()) break;
+            const uint8_t* p = decomp.data() + off + 4;
+            uint8_t lrn = p[8];
+            if (prev_q == SIZE_MAX || lrn != prev_qlen ||
+                memcmp(decomp.data() + prev_q, p + 32, lrn) != 0)
+                grp_starts.push_back(off);
+            prev_q = off + 4 + 32;
+            prev_qlen = lrn;
+            off += 4 + bs;
+            last_complete = off;
+        }
+        bool final = at_eof;
+        size_t tail = decomp.size() - last_complete;
+        if (final && tail > 0 && off + 4 <= decomp.size()) {
+            // a record header claimed more bytes than remain
+            set_error("truncated BAM record");
+            return -7;
+        }
+        size_t n_groups = grp_starts.size();
+        size_t n_proc;   // groups processed this chunk
+        size_t proc_end;
+        if (final) {
+            if (tail > 0) {
+                set_error("truncated BAM record");
+                return -7;
+            }
+            n_proc = n_groups;
+            proc_end = last_complete;
+        } else if (n_groups <= 1) {
+            // no complete group yet: keep accumulating
+            carry.assign(decomp.begin(), decomp.end());
+            continue;
+        } else {
+            n_proc = n_groups - 1;
+            proc_end = grp_starts[n_proc];
+        }
+
+        if (n_proc > 0) {  // parallel parse+collapse over group spans
+            std::vector<std::thread> ths;
+            auto work = [&](int t) {
+                size_t g0 = n_proc * (size_t)t / T;
+                size_t g1 = n_proc * (size_t)(t + 1) / T;
+                if (g0 >= g1) return;
+                size_t cur = grp_starts[g0];
+                size_t end = g1 < n_proc ? grp_starts[g1] : proc_end;
+                IngestPriv& p = priv[t];
+                if (p.rc != 0) return;
+                Collapser col{sigs, has_single, min_frag, max_frag,
+                              max_repeat, pe != 0, &p.counts};
+                auto next = [&](BamRec* r) -> int {
+                    if (cur >= end) return 0;
+                    uint32_t bs;
+                    memcpy(&bs, decomp.data() + cur, 4);
+                    parse_bam_record(decomp.data() + cur + 4, (int32_t)bs, r);
+                    cur += 4 + bs;
+                    if (r->ref_id >= 0) {
+                        int32_t tid = ref2tid[(size_t)r->ref_id];
+                        if (tid == -3) {
+                            p.error = "unexisting transcript '" +
+                                      hdr_rd.ref_names[(size_t)r->ref_id] +
+                                      "' in alignment file";
+                            return -3;
+                        }
+                        r->ref_id = tid;
+                    }
+                    return 1;
+                };
+                // the very last span at true EOF keeps the sequential
+                // dangling-record semantics; every other span end is a
+                // parallel split and must not land mid-pair
+                bool strict = !(final && g1 == n_proc);
+                int rc = ingest_records(next, pe, strand_code, col,
+                                        &p.readlength, strict);
+                col.finish();
+                if (rc < 0 && p.rc == 0) {
+                    p.rc = rc;
+                    if (p.error.empty()) p.error = g_error;
+                }
+            };
+            for (int t = 1; t < T; t++) ths.emplace_back(work, t);
+            work(0);
+            for (auto& th : ths) th.join();
+            for (auto& p : priv)
+                if (p.rc != 0) {
+                    if (p.rc != -100) set_error(p.error);
+                    return p.rc;
+                }
+        }
+        if (final) break;
+        carry.assign(decomp.begin() + (ptrdiff_t)proc_end, decomp.end());
+    }
+    return merge_privs(priv, names, sigs, single_counts, multi_counts,
+                       fraglen_counts, hist_size, total_out, readlength_io);
+}
+
+// first byte offset at or after `from` that starts a new qname group in a
+// SAM text file
+int64_t sam_group_boundary(FILE* fh, int64_t from, int64_t fsize) {
+    if (from <= 0) return 0;
+    fseeko(fh, (off_t)from, SEEK_SET);
+    LineReader rd(fh);
+    char* line;
+    ssize_t len = rd.next(&line);
+    if (len < 0) return fsize;
+    int64_t off = from + len + 1;
+    std::string prev_id;
+    while (off < fsize) {
+        len = rd.next(&line);
+        if (len < 0) return fsize;
+        if (line[0] != '@') {
+            const char* tab = (const char*)memchr(line, '\t', (size_t)len);
+            std::string_view id(line, tab ? (size_t)(tab - line)
+                                          : (size_t)len);
+            if (!prev_id.empty() && id != prev_id) return off;
+            prev_id.assign(id.data(), id.size());
+        }
+        off += len + 1;
+    }
+    return fsize;
+}
+
+int ingest_sam_parallel(const char* path, int64_t fsize, int pe,
+                        int strand_code, int64_t max_repeat, int64_t min_frag,
+                        int64_t max_frag, const NameTable* names,
+                        const SigTable* sigs, const uint8_t* has_single,
+                        int64_t* single_counts, int64_t* multi_counts,
+                        int64_t* fraglen_counts, int64_t hist_size,
+                        int64_t* total_out, int64_t* readlength_io,
+                        int nthreads) {
+    const int T = nthreads;
+    std::vector<int64_t> bounds((size_t)T + 1);
+    bounds[0] = 0;
+    bounds[(size_t)T] = fsize;
+    {
+        FILE* fh = fopen(path, "r");
+        if (!fh) {
+            set_error(std::string("can't open alignment file ") + path);
+            return -1;
+        }
+        for (int t = 1; t < T; t++) {
+            int64_t b = sam_group_boundary(fh, fsize * t / T, fsize);
+            bounds[(size_t)t] = b < bounds[(size_t)t - 1]
+                                    ? bounds[(size_t)t - 1] : b;
+        }
+        fclose(fh);
+    }
+    std::vector<IngestPriv> priv(T);
+    init_privs(priv, names, sigs, hist_size, *readlength_io);
+    std::vector<std::thread> ths;
+    auto work = [&](int t) {
+        IngestPriv& p = priv[t];
+        if (bounds[(size_t)t] >= bounds[(size_t)t + 1]) return;
+        FILE* fh = fopen(path, "r");
+        if (!fh) {
+            p.rc = -1;
+            p.error = std::string("can't open alignment file ") + path;
+            return;
+        }
+        fseeko(fh, (off_t)bounds[(size_t)t], SEEK_SET);
+        SamReader rd(fh, bounds[(size_t)t + 1] - bounds[(size_t)t]);
+        Collapser col{sigs, has_single, min_frag, max_frag, max_repeat,
+                      pe != 0, &p.counts};
+        std::string rname;
+        auto next = [&](BamRec* r) -> int {
+            int res = rd.next(r, &rname);
+            if (res == 1 && r->ref_id >= 0) {
+                auto it = names->map.find(rname);
+                if (it == names->map.end()) {
+                    p.error = "unexisting transcript '" + rname +
+                              "' in alignment file";
+                    return -3;
+                }
+                r->ref_id = it->second;
+            }
+            return res;
+        };
+        bool strict = bounds[(size_t)t + 1] < fsize;
+        p.rc = ingest_records(next, pe, strand_code, col, &p.readlength,
+                              strict);
+        col.finish();
+        if (p.rc < 0 && p.error.empty()) p.error = g_error;
+        fclose(fh);
+    };
+    for (int t = 1; t < T; t++) ths.emplace_back(work, t);
+    work(0);
+    for (auto& th : ths) th.join();
+    for (auto& p : priv)
+        if (p.rc == -100) return -100;
+    return merge_privs(priv, names, sigs, single_counts, multi_counts,
+                       fraglen_counts, hist_size, total_out, readlength_io);
+}
+
 }  // namespace
 
 extern "C" int emsar_ingest_bam(
@@ -926,9 +1307,51 @@ extern "C" int emsar_ingest_bam(
                      const uint8_t* has_single, int64_t* single_counts,
                      int64_t* multi_counts, int64_t* fraglen_counts,
                      int64_t hist_size, int64_t* total_out,
-                     int64_t* readlength_io) {
+                     int64_t* readlength_io, int nthreads) {
     g_error.clear();
-    FILE* fh = (path && path[0]) ? fopen(path, "rb") : stdin;
+    bool is_file = path && path[0];
+    if (nthreads > 16) nthreads = 16;
+    if (is_file && nthreads > 1) {
+        const NameTable* names_p = (const NameTable*)name_table;
+        const SigTable* sigs_p = (const SigTable*)sig_table;
+        int rc;
+        if (is_sam) {
+            FILE* fh = fopen(path, "r");
+            if (!fh) {
+                set_error(std::string("can't open alignment file ") + path);
+                return -1;
+            }
+            fseeko(fh, 0, SEEK_END);
+            int64_t fsize = (int64_t)ftello(fh);
+            fclose(fh);
+            if (fsize < (int64_t)nthreads * (16 << 10))
+                rc = -100;  // too small to split; run serially below
+            else
+                rc = ingest_sam_parallel(
+                    path, fsize, pe, strand_code, max_repeat, min_frag,
+                    max_frag, names_p, sigs_p, has_single, single_counts,
+                    multi_counts, fraglen_counts, hist_size, total_out,
+                    readlength_io, nthreads);
+        } else {
+            FILE* fh = fopen(path, "rb");
+            if (!fh) {
+                set_error(std::string("can't open alignment file ") + path);
+                return -1;
+            }
+            rc = ingest_bam_parallel(
+                fh, pe, strand_code, max_repeat, min_frag,
+                max_frag, names_p, sigs_p, has_single, single_counts,
+                multi_counts, fraglen_counts, hist_size, total_out,
+                readlength_io, nthreads);
+            fclose(fh);
+        }
+        if (rc != -100) return rc;
+        // -100: a qname group with an odd number of mapped records crossed
+        // a split point — rerun the exact sequential pass (output arrays
+        // are untouched: workers merge only on success)
+        g_error.clear();
+    }
+    FILE* fh = is_file ? fopen(path, "rb") : stdin;
     if (!fh) {
         set_error(std::string("can't open alignment file ") + path);
         return -1;

@@ -94,7 +94,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int]
         _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
         lib.emsar_group_rows.restype = ctypes.c_int64
         lib.emsar_group_rows.argtypes = [_u64p, _u64p, ctypes.c_void_p,
@@ -229,7 +230,8 @@ class NativeCollapser:
                 path.encode(), int(fmt == "sam"), int(pe), strand_code,
                 max_repeat, min_fraglength, max_fraglength, self._name_table,
                 self._sig_table, self._has_single, single, multi, hist,
-                hist_size, ctypes.byref(total), ctypes.byref(rl))
+                hist_size, ctypes.byref(total), ctypes.byref(rl),
+                int(nthreads))
         if rc != 0:
             err = self._lib.emsar_ingest_last_error().decode("latin-1")
             raise ValueError(f"native ingest failed ({rc}): {err}")

@@ -94,5 +94,56 @@ def test_native_matches_python_bam_sam(tmp_path):
                               [index.readlength])
         nat = nc.collapse_file(path, fmt, True, 0, cfg.max_repeat,
                                cfg.min_fraglength, cfg.max_fraglength,
-                               [index.readlength])
+                               [index.readlength], nthreads=1)
         _counts_equal(py, nat)
+        # parallel ingest (BAM: parallel-inflate + group-split collapse;
+        # SAM: byte-range split) must reproduce sequential counts exactly
+        for nthreads in (2, 3, 7):
+            thr = nc.collapse_file(path, fmt, True, 0, cfg.max_repeat,
+                                   cfg.min_fraglength, cfg.max_fraglength,
+                                   [index.readlength], nthreads=nthreads)
+            _counts_equal(nat, thr)
+
+
+@requires_native
+def test_parallel_bam_odd_group_fallback(tmp_path):
+    """A qname group with an odd number of mapped records makes the serial
+    pairing frame cross group boundaries; the parallel path must detect the
+    crossing at its split points and fall back to the exact serial pass."""
+    from tests.test_bam_sam import _pe_records
+    from emsar_tpu.io.bam import write_bam
+    from emsar_tpu.io.fasta import build_transcriptome
+    from emsar_tpu.sim import fragments_to_reads, simulate_fragments
+    from tests.util import random_transcriptome, run_ref_build, write_fasta
+
+    rng = np.random.default_rng(71)
+    names, seqs = random_transcriptome(rng, 12, min_len=80, max_len=200,
+                                       shared_frac=0.3)
+    fasta = str(tmp_path / "t.fa")
+    write_fasta(fasta, names, seqs)
+    rsh = run_ref_build(fasta, 20, str(tmp_path), "idx", pe=True,
+                        extra=["-F", "80"])
+    tx = build_transcriptome(names, seqs)
+    pos = simulate_fragments(tx, 50, 400, rng)
+    rnames, r1, r2 = fragments_to_reads(tx, pos, 20, 50, pe=True)
+    recs = _pe_records(rnames, r1, r2, names, seqs, max_insert=80)
+    # inject unmapped-mate groups throughout: [mapped, unmapped] keeps the
+    # frame; a lone unmapped record shifts it by one
+    out = []
+    for i, rec in enumerate(recs):
+        out.append(rec)
+        if i % 97 == 0:
+            out.append((f"odd{i}", 0x1 | 0x4, -1, 0, b"A" * 50, None))
+    bam = str(tmp_path / "a.bam")
+    write_bam(bam, names, [len(s) for s in seqs], iter(out))
+
+    index = RshIndex.read_text(rsh)
+    nc = native.NativeCollapser(index)
+    base = nc.collapse_file(bam, "bam", True, 0, 100,
+                            index.min_fraglength, index.max_fraglength,
+                            [index.readlength], nthreads=1)
+    for nthreads in (2, 5):
+        thr = nc.collapse_file(bam, "bam", True, 0, 100,
+                               index.min_fraglength, index.max_fraglength,
+                               [index.readlength], nthreads=nthreads)
+        _counts_equal(base, thr)
