@@ -1,26 +1,29 @@
-"""Benchmark: end-to-end quantification vs the reference C binary.
+"""Benchmark: end-to-end quantification + index build vs the reference C.
 
-Workload: a synthetic transcriptome with heavy sequence sharing (the regime
-the MLE phase is sensitive to), SE reads, same .rsh index (built by the
-reference binary) and same bowtie-format alignment file fed to both:
+Three workloads, all oracled by the committed reference binaries:
 
-  * reference: committed x86-64 `emsar` binary, best of -p1/-p2 wall time
-  * ours: in-process pipeline (host ingest + device EM), steady-state
-    (second run, warm jit cache)
+  * SE quantify  — 2000-gene family transcriptome (15 Mbp), SE l50, 1M
+    simulated bowtie-format reads; same reference-built .rsh fed to both.
+  * PE quantify  — 500-gene family transcriptome, PE l101 F290-300, 100K
+    simulated read pairs in a qname-grouped BAM (the Vicugna config-1
+    stand-in from BASELINE.json; the released fixture is not in-tree).
+  * SE index build — reference `emsar-build` vs the device-resident
+    builder on the SE transcriptome (byte-identical output required).
 
-Prints ONE JSON line:
-  {"metric": "e2e_quantify_speedup_vs_ref_C", "value": X, "unit": "x",
-   "vs_baseline": X}
-vs_baseline == value: the baseline IS the reference binary at 1.0.
+Prints ONE JSON line whose value is the geometric mean of the SE and PE
+end-to-end quantify speedups; components and throughput metrics
+(reads/s, EM iterations/s, build speedup) ride in "extra".
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 import subprocess
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -34,6 +37,11 @@ N_GENES = 2000
 READLEN = 50
 N_READS = 1_000_000
 SEED = 1234
+
+PE_GENES = 1000
+PE_READLEN = 101
+PE_FMIN, PE_FMAX = 290, 300
+PE_READS = 500_000
 
 
 def log(msg):
@@ -54,7 +62,7 @@ def ensure_fixture():
     from emsar_tpu.index.kernels import sort_runs
     from emsar_tpu.sim import gene_family_transcriptome, simulate_fragments
 
-    log("generating fixture (transcriptome + index + alignments)...")
+    log("generating SE fixture (transcriptome + index + alignments)...")
     rng = np.random.default_rng(SEED)
     names, seqs, _ = gene_family_transcriptome(rng, N_GENES)
     write_fasta(fasta, names, seqs)
@@ -91,7 +99,6 @@ def ensure_fixture():
 
     frag = simulate_fragments(tx, rl, N_READS, rng)
     seqstr = tx.seq.tobytes()
-    from emsar_tpu.io.fasta import revcomp_bytes
     log("writing alignment file...")
     with open(aln, "w", buffering=1 << 22) as fh:
         for i, p in enumerate(frag):
@@ -115,11 +122,140 @@ def ensure_fixture():
     return fasta, rsh, aln
 
 
-def time_reference(rsh, aln):
+# --------------------------------------------------------------------------
+# PE BAM fixture
+# --------------------------------------------------------------------------
+
+
+def _fast_write_bam(path, ref_names, ref_lengths, qnames, flags, refids,
+                    positions, l_seq):
+    """Qname-grouped BAM writer: one struct-packed template per record,
+    constant seq/qual payload (the quantifier reads only lengths)."""
+    body = bytearray()
+    text = "".join(f"@SQ\tSN:{n}\tLN:{l}\n"
+                   for n, l in zip(ref_names, ref_lengths)).encode()
+    body += b"BAM\x01" + struct.pack("<i", len(text)) + text
+    body += struct.pack("<i", len(ref_names))
+    for n, l in zip(ref_names, ref_lengths):
+        nb = n.encode() + b"\x00"
+        body += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
+    cigar = struct.pack("<I", (l_seq << 4) | 0)
+    payload = bytes((l_seq + 1) // 2) + b"\xff" * l_seq
+    aux = b"MDZ" + str(l_seq).encode() + b"\x00"
+    tail = cigar + payload + aux
+    pk = struct.Struct("<iiiBBHHHiiii")
+    for i in range(len(qnames)):
+        qn = qnames[i] + b"\x00"
+        rec_len = 32 + len(qn) + len(tail)
+        body += pk.pack(rec_len, refids[i], positions[i], len(qn), 0, 0, 1,
+                        flags[i], l_seq, -1, -1, 0)
+        body += qn
+        body += tail
+    eof = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+    with open(path, "wb") as fh:
+        mv = memoryview(bytes(body))
+        for i in range(0, len(mv), 60000):
+            chunk = bytes(mv[i:i + 60000])
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            cdata = comp.compress(chunk) + comp.flush()
+            bsize = len(cdata) + 25
+            fh.write(struct.pack("<BBBBIBBHBBHH", 0x1F, 0x8B, 8, 4, 0, 0,
+                                 0xFF, 6, 66, 67, 2, bsize))
+            fh.write(cdata)
+            fh.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+        fh.write(eof)
+
+
+def ensure_pe_fixture():
+    bam = os.path.join(CACHE, "benchpe.bam")
+    rsh = os.path.join(CACHE, "benchpe.rsh")
+    if os.path.exists(bam) and os.path.exists(rsh):
+        return rsh, bam
+
+    from tests.util import write_fasta
+    from emsar_tpu.io.fasta import build_transcriptome
+    from emsar_tpu.index import pack
+    from emsar_tpu.index.kernels import sort_runs
+    from emsar_tpu.sim import gene_family_transcriptome
+
+    log("generating PE fixture (transcriptome + index + BAM)...")
+    rng = np.random.default_rng(SEED + 1)
+    names, seqs, _ = gene_family_transcriptome(rng, PE_GENES)
+    fasta = os.path.join(CACHE, "benchpe.fa")
+    write_fasta(fasta, names, seqs)
+    log("reference PE index build (one-time fixture)...")
+    subprocess.run([REF_BUILD, "-q", "--PE", "-f", str(PE_FMIN), "-F",
+                    str(PE_FMAX), fasta, str(PE_READLEN), CACHE, "benchpe"],
+                   check=True, capture_output=True)
+
+    tx = build_transcriptome(names, seqs)
+    rl = PE_READLEN
+    p16 = pack.pack16(tx.codes)
+    bad = pack.bad_prefix(tx.codes)
+    allpos = np.arange(0, tx.borderpos - rl + 1, dtype=np.int64)
+    allpos = allpos[pack.valid_windows(bad, allpos, rl)]
+    fw = pack.window_words_np(p16, allpos, rl)
+    _, aux, run_id = sort_runs(fw, allpos[:, None].astype(np.int32),
+                               fw.shape[1], backend="numpy")
+    spos = aux[:, 0].astype(np.int64)
+    run_of = np.full(tx.borderpos, -1, dtype=np.int64)
+    run_of[spos] = run_id
+    order = np.argsort(run_id, kind="stable")
+    members = spos[order]
+    counts = np.bincount(run_id)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    tids_of = tx.transcript_of(members, rl)
+    tend = tx.cuml[tids_of + 1] - 1  # '@' separator position after transcript
+
+    # simulate fragments on the fw strand with room for F
+    lens = np.diff(tx.cuml) - 1
+    ok_t = np.flatnonzero(lens >= PE_FMAX)
+    t_choice = ok_t[rng.integers(0, len(ok_t), size=PE_READS)]
+    F = rng.integers(PE_FMIN, PE_FMAX + 1, size=PE_READS)
+    u = rng.random(PE_READS)
+    start = (u * (lens[t_choice] - F + 1)).astype(np.int64)
+    p1 = tx.cuml[t_choice] + start
+    d = F - rl
+
+    log("expanding PE alignments...")
+    qnames, flags, refids, positions = [], [], [], []
+    for i in range(PE_READS):
+        r = run_of[p1[i]]
+        sl = slice(offsets[r], offsets[r + 1])
+        mem = members[sl]
+        # mate2 must sit in the same transcript and share the mate2 run
+        q2 = mem + d[i]
+        okm = q2 + rl - 1 <= tend[sl]
+        r2ref = run_of[p1[i] + d[i]]
+        okm &= np.where(q2 < tx.borderpos, run_of[np.clip(q2, 0,
+                        tx.borderpos - 1)] == r2ref, False)
+        mem = mem[okm]
+        tt = tids_of[sl][okm]
+        rid = b"rp%07d" % i
+        for t_, q_ in zip(tt, mem - tx.cuml[tt]):
+            qnames += [rid, rid]
+            flags += [0x1 | 0x40, 0x1 | 0x80 | 0x10]
+            refids += [int(t_), int(t_)]
+            positions += [int(q_), int(q_ + d[i])]
+    log(f"writing BAM ({len(qnames)} records)...")
+    _fast_write_bam(bam, names, [len(s) for s in seqs], qnames,
+                    np.asarray(flags), np.asarray(refids),
+                    np.asarray(positions), rl)
+    return rsh, bam
+
+
+# --------------------------------------------------------------------------
+# timing
+# --------------------------------------------------------------------------
+
+
+def time_reference(rsh, aln, extra_flags=()):
     best = float("inf")
     for p in ("2", "1"):
         t0 = time.perf_counter()
-        subprocess.run([REF_EMSAR, "-q", "-p", p, "-I", rsh,
+        subprocess.run([REF_EMSAR, "-q", "-p", p, *extra_flags, "-I", rsh,
                         os.path.join(CACHE, "refout"), "s", aln],
                        check=True, capture_output=True)
         dt = time.perf_counter() - t0
@@ -128,7 +264,7 @@ def time_reference(rsh, aln):
     return best
 
 
-def run_ours(rsh, aln, platform):
+def run_ours_se(rsh, aln, platform):
     from emsar_tpu.config import QuantConfig, StrandType
     from emsar_tpu.cli.emsar import run_quantifier
     from emsar_tpu.utils import timing
@@ -145,9 +281,76 @@ def run_ours(rsh, aln, platform):
         dt = time.perf_counter() - t0
         times.append(dt)
         ph = timing.phase_times()
-        log(f"ours run {rep}: {dt:.2f}s  phases: " +
+        log(f"ours SE run {rep}: {dt:.2f}s  phases: " +
             ", ".join(f"{k.split(' ')[0]}={v:.2f}" for k, v in ph.items()))
     return min(times), outdir
+
+
+def run_ours_pe(rsh, bam, platform):
+    """Direct pipeline so ingest/EM phase metrics are measurable."""
+    from emsar_tpu.config import QuantConfig, StrandType
+    from emsar_tpu.io.rsh import RshIndex
+    from emsar_tpu.io.outputs import write_fpkm
+    from emsar_tpu.ingest import native as native_mod
+    from emsar_tpu.model.quantify import quantify_sample
+
+    cfg = QuantConfig(verbose=0, pe=True, aln_format="bam")
+    cfg.strand = StrandType.parse("ns", True)
+    cfg.solver_dtype = "float64" if platform == "cpu" else "float32"
+    index = RshIndex.load(rsh)
+    cfg.min_fraglength = index.min_fraglength
+    cfg.max_fraglength = index.max_fraglength
+    nc = native_mod.NativeCollapser(index)
+    outdir = os.path.join(CACHE, "ourout_pe")
+    os.makedirs(outdir, exist_ok=True)
+    best = None
+    for rep in range(2):
+        t0 = time.perf_counter()
+        counts = nc.collapse_file(bam, "bam", True, 0, cfg.max_repeat,
+                                  cfg.min_fraglength, cfg.max_fraglength,
+                                  [index.readlength])
+        t_ingest = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        result = quantify_sample(index, counts, cfg)
+        t_quant = time.perf_counter() - t1
+        write_fpkm(os.path.join(outdir, "s.0.fpkm"), index.names,
+                   result.fpkm_rounds, result.ieuma,
+                   result.total_read_count, 0)
+        dt = time.perf_counter() - t0
+        log(f"ours PE run {rep}: {dt:.2f}s (ingest {t_ingest:.2f}, "
+            f"quantify {t_quant:.2f}, EM blocks {result.em_blocks})")
+        cur = dict(total=dt, ingest=t_ingest, quant=t_quant,
+                   blocks=result.em_blocks,
+                   reads=counts.total_read_count)
+        if best is None or cur["total"] < best["total"]:
+            best = cur
+    return best, outdir
+
+
+def bench_build(fasta, platform):
+    """SE index build: reference binary vs the device-resident builder."""
+    t0 = time.perf_counter()
+    subprocess.run([REF_BUILD, "-q", fasta, str(READLEN), CACHE, "refbuild"],
+                   check=True, capture_output=True)
+    t_ref = time.perf_counter() - t0
+    log(f"reference emsar-build: {t_ref:.2f}s")
+
+    from emsar_tpu.config import BuildConfig, StrandType
+    from emsar_tpu.io.fasta import read_fasta
+    from emsar_tpu.index.build import build_se_index
+
+    tx = read_fasta(fasta, "E")
+    cfg = BuildConfig(verbose=0)
+    cfg.strand = StrandType.parse("ns", False)
+    t0 = time.perf_counter()
+    idx = build_se_index(tx, READLEN, READLEN, cfg)
+    t_ours = time.perf_counter() - t0
+    ours_rsh = os.path.join(CACHE, "ourbuild.rsh")
+    idx.write_text(ours_rsh)
+    identical = (open(ours_rsh, "rb").read() ==
+                 open(os.path.join(CACHE, "refbuild.rsh"), "rb").read())
+    log(f"ours build: {t_ours:.2f}s  byte-identical: {identical}")
+    return t_ref, t_ours, identical
 
 
 def tpm_maxdiff(ref_fpkm, our_fpkm):
@@ -186,16 +389,52 @@ def main():
     jax.config.update("jax_enable_x64", platform == "cpu")
 
     fasta, rsh, aln = ensure_fixture()
-    t_ref = time_reference(rsh, aln)
-    t_ours, outdir = run_ours(rsh, aln, platform)
+    pe_rsh, pe_bam = ensure_pe_fixture()
+
+    # SE quantify
+    t_ref_se = time_reference(rsh, aln)
+    t_ours_se, outdir = run_ours_se(rsh, aln, platform)
     tdiff, gdiff = tpm_maxdiff(os.path.join(CACHE, "refout", "s.0.fpkm"),
                                os.path.join(outdir, "s.0.fpkm"))
-    log(f"reference: {t_ref:.2f}s  ours: {t_ours:.2f}s  TPM maxdiff: "
-        f"transcript {tdiff:.2f} (non-identifiable axis), gene {gdiff:.4f}")
-    speedup = t_ref / t_ours
-    print(json.dumps({"metric": "e2e_quantify_speedup_vs_ref_C",
-                      "value": round(speedup, 3), "unit": "x",
-                      "vs_baseline": round(speedup, 3)}))
+    se_speedup = t_ref_se / t_ours_se
+    log(f"SE: reference {t_ref_se:.2f}s ours {t_ours_se:.2f}s "
+        f"({se_speedup:.2f}x); TPM maxdiff transcript {tdiff:.2f} "
+        f"(non-identifiable axis), gene {gdiff:.4f}")
+
+    # PE quantify (BAM)
+    t_ref_pe = time_reference(pe_rsh, pe_bam, extra_flags=("-P", "-B"))
+    pe, outdir_pe = run_ours_pe(pe_rsh, pe_bam, platform)
+    pe_tdiff, pe_gdiff = tpm_maxdiff(
+        os.path.join(CACHE, "refout", "s.0.fpkm"),
+        os.path.join(outdir_pe, "s.0.fpkm"))
+    pe_speedup = t_ref_pe / pe["total"]
+    reads_per_s = pe["reads"] / pe["ingest"] if pe["ingest"] > 0 else 0.0
+    # one while_loop block = solver_block_iters SQUAREM cycles = 3 EM steps
+    em_iters = pe["blocks"] * 8 * 3
+    em_iters_per_s = em_iters / pe["quant"] if pe["quant"] > 0 else 0.0
+    log(f"PE: reference {t_ref_pe:.2f}s ours {pe['total']:.2f}s "
+        f"({pe_speedup:.2f}x); gene TPM maxdiff {pe_gdiff:.4f}; "
+        f"{reads_per_s / 1e3:.0f}K reads/s ingest")
+
+    # index build
+    t_ref_build, t_ours_build, identical = bench_build(fasta, platform)
+
+    speedup = float(np.sqrt(se_speedup * pe_speedup))
+    print(json.dumps({
+        "metric": "e2e_quantify_speedup_vs_ref_C",
+        "value": round(speedup, 3), "unit": "x",
+        "vs_baseline": round(speedup, 3),
+        "extra": {
+            "se_speedup": round(se_speedup, 3),
+            "pe_speedup": round(pe_speedup, 3),
+            "pe_reads_per_s": round(reads_per_s),
+            "pe_em_iters_per_s": round(em_iters_per_s),
+            "se_tpm_gene_maxdiff": round(gdiff, 4),
+            "pe_tpm_gene_maxdiff": round(pe_gdiff, 4),
+            "build_se_ref_s": round(t_ref_build, 2),
+            "build_se_ours_s": round(t_ours_build, 2),
+            "build_byte_identical": bool(identical),
+        }}))
 
 
 if __name__ == "__main__":

@@ -65,6 +65,8 @@ class BuildConfig:
     # TPU-specific knobs
     chunk_positions: int = 1 << 20  # positions per device sort chunk
     pe_chunk_candidates: int = 1 << 24  # (position, d) candidates per PE chunk
+    device_sort_limit: int = 1 << 26  # windows per device sort; larger
+    # builds are prefix-partitioned (device_build._build_se_partitioned)
 
 
 @dataclasses.dataclass

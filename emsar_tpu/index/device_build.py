@@ -316,9 +316,17 @@ def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
 
 
 def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
-                         nfl: int, max_repeat: int, U: int, C2: int):
+                         nfl: int, max_repeat: int, U: int, C2: int,
+                         chunk_id=None):
     """From sorted runs to: dense single-EUMA scatter, per-run signature
-    records, exemplar-member extraction.  All arrays length E (sorted)."""
+    records, exemplar-member extraction.  All arrays length E (sorted).
+
+    ``chunk_id``: launch index recorded next to extracted members; run ids
+    are only unique within a launch once builds are partitioned, so the
+    host groups members by (chunk, run).  Claim-table entries may be
+    "stolen" across launches by numerically smaller local ids — benign:
+    every win still extracts one complete real run whose identity the host
+    recomputes from the members themselves."""
     E = start.shape[0]
     claim_mask = state["claim1"].shape[0] - 1
     i = jnp.arange(E, dtype=jnp.int32)
@@ -361,9 +369,10 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     r1, r2, r3 = lanes_out
     r3 = (r3 & jnp.uint32(0xFFFFFE00)) | rfl
     tab_arrays = [jnp.where(rec_valid, jnp.uint32(0), jnp.uint32(1)),
-                  r1, r2, r3]
+                  r1, r2, r3,
+                  jnp.where(rec_valid, jnp.uint32(1), jnp.uint32(0))]
     tab_bufs = [state["tab_flag"], state["tab_h1"], state["tab_h2"],
-                state["tab_h3fl"]]
+                state["tab_h3fl"], state["tab_cnt"]]
     tabs, tab_n, flags = _append_block(tab_arrays, tab_bufs, state["tab_n"],
                                        rec_cnt, state["tab_flag"].shape[0],
                                        state["flags"], 0)
@@ -387,8 +396,11 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
 
     # extract exemplar members (elements of winner runs); skipped entirely
     # on the common no-new-signature chunk
+    ck = (jnp.int32(0) if chunk_id is None
+          else jnp.asarray(chunk_id, jnp.int32))
+
     def extract(args):
-        mem_sg, mem_tid, mem_n, flags = args
+        mem_sg, mem_tid, mem_chunk, mem_n, flags = args
         wflag = jnp.zeros(E + 1, bool).at[
             jnp.where(win_rec, (rsg.astype(jnp.int32) - chunk_base), E)
         ].set(True, mode="drop")
@@ -399,17 +411,20 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         mem_cnt = jnp.sum(win, dtype=jnp.int32)
         C2e = min(C2, E)
         mems, mem_n2, flags2 = _append_block(
-            [mo[1][:C2e], mo[2][:C2e]], [mem_sg, mem_tid], mem_n, mem_cnt,
+            [mo[1][:C2e], mo[2][:C2e], jnp.full(C2e, ck, jnp.int32)],
+            [mem_sg, mem_tid, mem_chunk], mem_n, mem_cnt,
             mem_sg.shape[0], flags, 1)
-        return mems[0], mems[1], mem_n2, flags2
+        return mems[0], mems[1], mems[2], mem_n2, flags2
 
-    mem_sg, mem_tid, mem_n, flags = jax.lax.cond(
+    mem_sg, mem_tid, mem_chunk, mem_n, flags = jax.lax.cond(
         n_win > 0, extract, lambda a: a,
-        (state["mem_sg"], state["mem_tid"], state["mem_n"], flags))
+        (state["mem_sg"], state["mem_tid"], state["mem_chunk"],
+         state["mem_n"], flags))
 
     return dict(dense=dense, tab_flag=tabs[0], tab_h1=tabs[1],
-                tab_h2=tabs[2], tab_h3fl=tabs[3], tab_n=tab_n,
-                mem_sg=mem_sg, mem_tid=mem_tid, mem_n=mem_n,
+                tab_h2=tabs[2], tab_h3fl=tabs[3], tab_cnt=tabs[4],
+                tab_n=tab_n, mem_sg=mem_sg, mem_tid=mem_tid,
+                mem_chunk=mem_chunk, mem_n=mem_n,
                 claim1=claim1, claim2=claim2, claim3=claim3, flags=flags)
 
 
@@ -490,44 +505,41 @@ def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("Npad", "nfl", "max_repeat", "U", "C2", "unstranded",
-                     "borderpos", "seqlength", "readlength", "Lp"),
-    donate_argnums=(0,))
-def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
-               Npad: int, nfl: int, max_repeat: int, U: int, C2: int,
-               unstranded: bool, borderpos: int, seqlength: int,
-               readlength: int, Lp: int):
-    """All windows of one read length, grouped by canonical sequence.
+def _canon_words(p16, posc, rl: int, seqlength: int, Lp: int):
+    """Packed words of the canonical (lexicographic min of fw/rc) window."""
+    W = pack.n_words(rl)
+    fw_cols, rc_cols = [], []
+    rcpos = jnp.clip(seqlength - posc - rl, 0, Lp - rl - 17)
+    for w in range(W):
+        fw_cols.append(p16[posc + 16 * w])
+        rc_cols.append(p16[rcpos + 16 * w])
+    fw = jnp.stack(fw_cols, axis=1)
+    rc = jnp.stack(rc_cols, axis=1)
+    rem = rl - 16 * (W - 1)
+    if rem < 16:
+        sh = jnp.uint32(2 * (16 - rem))
+        fw = fw.at[:, W - 1].set(fw[:, W - 1] >> sh)
+        rc = rc.at[:, W - 1].set(rc[:, W - 1] >> sh)
+    cmp = jnp.zeros(posc.shape[0], jnp.int8)
+    for w in range(W):
+        c = (fw[:, w] > rc[:, w]).astype(jnp.int8) - \
+            (fw[:, w] < rc[:, w]).astype(jnp.int8)
+        cmp = jnp.where(cmp == 0, c, cmp)
+    return jnp.where((cmp <= 0)[:, None], fw, rc)
+
+
+def _se_core(state, p16, cuml, pos, valid, chunk_base, fl_ind, chunk_id,
+             nfl: int, max_repeat: int, U: int, C2: int, unstranded: bool,
+             seqlength: int, readlength: int, Lp: int):
+    """Group the given window positions by canonical sequence; accumulate.
 
     Reference semantics: initialize_suffixarray_{NS_5,SS_4} + sort +
     construct_rshbucket_2 (src/emsar_functions.c:949-1038, 1758-1819)."""
     rl = readlength
-    i = jnp.arange(Npad, dtype=jnp.int32)
-    posc = jnp.clip(i, 0, Lp - rl - 17)
-    valid = (i <= borderpos - rl) & ((badp[posc + rl] - badp[posc]) == 0)
+    E = pos.shape[0]
+    posc = jnp.clip(pos, 0, Lp - rl - 17)
     if unstranded:
-        # canonical representative: lexicographic min of fw / rc window
-        W = pack.n_words(rl)
-        fw_cols, rc_cols = [], []
-        rcpos = jnp.clip(seqlength - posc - rl, 0, Lp - rl - 17)
-        for w in range(W):
-            fw_cols.append(p16[posc + 16 * w])
-            rc_cols.append(p16[rcpos + 16 * w])
-        fw = jnp.stack(fw_cols, axis=1)
-        rc = jnp.stack(rc_cols, axis=1)
-        rem = rl - 16 * (W - 1)
-        if rem < 16:
-            sh = jnp.uint32(2 * (16 - rem))
-            fw = fw.at[:, W - 1].set(fw[:, W - 1] >> sh)
-            rc = rc.at[:, W - 1].set(rc[:, W - 1] >> sh)
-        cmp = jnp.zeros(Npad, jnp.int8)
-        for w in range(W):
-            c = (fw[:, w] > rc[:, w]).astype(jnp.int8) - \
-                (fw[:, w] < rc[:, w]).astype(jnp.int8)
-            cmp = jnp.where(cmp == 0, c, cmp)
-        words = jnp.where((cmp <= 0)[:, None], fw, rc)
+        words = _canon_words(p16, posc, rl, seqlength, Lp)
         h = _hash4(words, jnp.asarray(_MULT))
     else:
         h = _window_hash(p16, posc, rl)
@@ -541,9 +553,98 @@ def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
     diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
     startf = jnp.concatenate([jnp.ones(1, bool), diff])
     validrow = kv == 0
-    d_ind = jnp.full(Npad, fl_ind, dtype=jnp.int32)
+    d_ind = jnp.full(E, fl_ind, dtype=jnp.int32)
     return _postsort_accumulate(state, startf, validrow, d_ind, stid,
-                                chunk_base, nfl, max_repeat, U, C2)
+                                chunk_base, nfl, max_repeat, U, C2,
+                                chunk_id=chunk_id)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Npad", "nfl", "max_repeat", "U", "C2", "unstranded",
+                     "borderpos", "seqlength", "readlength", "Lp"),
+    donate_argnums=(0,))
+def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
+               Npad: int, nfl: int, max_repeat: int, U: int, C2: int,
+               unstranded: bool, borderpos: int, seqlength: int,
+               readlength: int, Lp: int):
+    """All windows of one read length (small builds: one launch)."""
+    rl = readlength
+    i = jnp.arange(Npad, dtype=jnp.int32)
+    posc = jnp.clip(i, 0, Lp - rl - 17)
+    valid = (i <= borderpos - rl) & ((badp[posc + rl] - badp[posc]) == 0)
+    return _se_core(state, p16, cuml, i, valid, chunk_base, fl_ind,
+                    jnp.int32(0), nfl, max_repeat, U, C2, unstranded,
+                    seqlength, rl, Lp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nfl", "max_repeat", "U", "C2", "unstranded",
+                     "seqlength", "readlength", "Lp"),
+    donate_argnums=(0,))
+def _se_launch_part(state, p16, cuml, positions, count, fl_ind, chunk_id,
+                    nfl: int, max_repeat: int, U: int, C2: int,
+                    unstranded: bool, seqlength: int, readlength: int,
+                    Lp: int):
+    """One prefix bucket of window positions (validity enforced upstream
+    by the prefix pass; padding rows carry pos < 0)."""
+    j = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    valid = j < count
+    pos = jnp.where(valid, positions, 0)
+    return _se_core(state, p16, cuml, pos, valid, jnp.int32(0), fl_ind,
+                    chunk_id, nfl, max_repeat, U, C2, unstranded,
+                    seqlength, readlength, Lp)
+
+
+# --------------------------------------------------------------------------
+# prefix partitioning (builds beyond the single-sort limit)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slab", "kbits", "unstranded", "borderpos",
+                              "seqlength", "readlength", "Lp"))
+def _se_prefix_slab(p16, badp, start, slab: int, kbits: int,
+                    unstranded: bool, borderpos: int, seqlength: int,
+                    readlength: int, Lp: int):
+    """Prefix bucket (top kbits of the canonical window's first word) for
+    positions [start, start+slab); invalid windows map to bucket 0xFFFF."""
+    rl = readlength
+    i = start + jnp.arange(slab, dtype=jnp.int32)
+    posc = jnp.clip(i, 0, Lp - rl - 17)
+    valid = (i <= borderpos - rl) & ((badp[posc + rl] - badp[posc]) == 0)
+    if unstranded:
+        words = _canon_words(p16, posc, rl, seqlength, Lp)
+        w0 = words[:, 0]
+        if pack.n_words(rl) == 1 and rl < 16:
+            w0 = w0 << jnp.uint32(2 * (16 - rl))  # re-align to the top
+    else:
+        w0 = p16[posc]
+        if rl < 16:  # mask bases beyond the window end
+            sh = jnp.uint32(2 * (16 - rl))
+            w0 = (w0 >> sh) << sh
+    pre = (w0 >> jnp.uint32(32 - kbits)).astype(jnp.uint16)
+    return jnp.where(valid, pre, jnp.uint16(0xFFFF))
+
+
+@functools.partial(jax.jit, static_argnames=("nbuckets",))
+def _prefix_hist(prefix, nbuckets: int):
+    return jnp.zeros(nbuckets, jnp.int32).at[
+        jnp.minimum(prefix.astype(jnp.int32), nbuckets - 1)].add(1)
+
+
+@functools.partial(jax.jit, static_argnames=("Bcap",))
+def _bucket_compact(prefix, b, Bcap: int):
+    """Positions whose prefix == b, compacted to the front of a [Bcap]
+    buffer; returns (positions, count)."""
+    n = prefix.shape[0]
+    m = prefix == b.astype(jnp.uint16)
+    idx = jnp.cumsum(m.astype(jnp.int32)) - 1
+    buf = jnp.full(Bcap, -1, jnp.int32).at[
+        jnp.where(m, idx, Bcap)].set(jnp.arange(n, dtype=jnp.int32),
+                                     mode="drop")
+    return buf, jnp.sum(m, dtype=jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -551,27 +652,55 @@ def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("UCAP",), donate_argnums=(0, 1, 2, 3))
-def _tab_finalize(tab_flag, tab_h1, tab_h2, tab_h3fl, UCAP: int):
-    """Aggregate per-run records into unique (signature-hash, fraglen)
-    counts; returns (h1, h2, h3fl, count)[UCAP] + n_unique."""
-    T = tab_flag.shape[0]
-    o = jax.lax.sort((tab_flag, tab_h1, tab_h2, tab_h3fl), num_keys=4,
-                     is_stable=False)
-    fl, h1, h2, h3 = o
+def _tab_aggregate(tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt):
+    """Shared core: sort records, sum counts per unique (hash, fraglen)
+    row, compact unique rows to the front.  Returns (flag, h1, h2, h3fl,
+    cnt, n_unique) with rows [0, n_unique) valid."""
+    o = jax.lax.sort((tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt),
+                     num_keys=4, is_stable=False)
+    fl, h1, h2, h3, cnt = o
     diff = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | \
         (h3[1:] != h3[:-1]) | (fl[1:] != fl[:-1])
     start = jnp.concatenate([jnp.ones(1, bool), diff])
-    ii = jnp.arange(T, dtype=jnp.int32)
     _, ns = _run_bounds(start)
-    cntr = ns - ii
+    csum = _run_sum_at_start(cnt, ns)
     head = start & (fl == 0)
     headinv = jnp.where(head, jnp.uint32(0), jnp.uint32(1))
-    o2 = jax.lax.sort((headinv, h1, h2, h3, cntr), num_keys=1,
+    o2 = jax.lax.sort((headinv, h1, h2, h3, csum), num_keys=1,
                       is_stable=False)
     n_unique = jnp.sum(head, dtype=jnp.int32)
-    return (o2[1][:UCAP], o2[2][:UCAP], o2[3][:UCAP], o2[4][:UCAP],
-            n_unique)
+    return o2[0], o2[1], o2[2], o2[3], o2[4], n_unique
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tab_fold(state):
+    """In-place aggregation of the record table: frees buffer space so
+    arbitrarily many launches fit in a fixed TABCAP (records per unique
+    (signature, fraglen) row collapse to one counted row)."""
+    hv, h1, h2, h3, cnt, n_unique = _tab_aggregate(
+        state["tab_flag"], state["tab_h1"], state["tab_h2"],
+        state["tab_h3fl"], state["tab_cnt"])
+    T = hv.shape[0]
+    i = jnp.arange(T, dtype=jnp.int32)
+    live = i < n_unique
+    out = dict(state)
+    out["tab_flag"] = jnp.where(live, jnp.uint32(0), jnp.uint32(1))
+    out["tab_h1"] = jnp.where(live, h1, 0)
+    out["tab_h2"] = jnp.where(live, h2, 0)
+    out["tab_h3fl"] = jnp.where(live, h3, 0)
+    out["tab_cnt"] = jnp.where(live, cnt, 0)
+    out["tab_n"] = n_unique
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("UCAP",),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _tab_finalize(tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt, UCAP: int):
+    """Aggregate per-run records into unique (signature-hash, fraglen)
+    counts; returns (h1, h2, h3fl, count)[UCAP] + n_unique."""
+    _, h1, h2, h3, cnt, n_unique = _tab_aggregate(
+        tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt)
+    return (h1[:UCAP], h2[:UCAP], h3[:UCAP], cnt[:UCAP], n_unique)
 
 # --------------------------------------------------------------------------
 # host orchestration
@@ -588,6 +717,19 @@ def _caps(ncand_hint: int, ntid: int, nfl: int) -> Dict[str, int]:
     )
 
 
+def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
+    """Capacities for prefix-partitioned builds: the record table folds in
+    place, members drain to host, so these bound *live* data, not totals.
+    ~2.7 GB device memory at the defaults."""
+    n = max(int(ncand_hint), 1)
+    return dict(
+        TABCAP=min(_next_pow2(n + 1024), 1 << 26),
+        MEMCAP=min(_next_pow2(2 * n + 64), 1 << 24),
+        CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 26),
+        UCAP=min(_next_pow2(n + 64), 1 << 25),
+    )
+
+
 def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
     return dict(
         dense=jnp.zeros(ntid * nfl, jnp.int32),
@@ -595,9 +737,11 @@ def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
         tab_h1=jnp.zeros(caps["TABCAP"], jnp.uint32),
         tab_h2=jnp.zeros(caps["TABCAP"], jnp.uint32),
         tab_h3fl=jnp.zeros(caps["TABCAP"], jnp.uint32),
+        tab_cnt=jnp.zeros(caps["TABCAP"], jnp.uint32),
         tab_n=jnp.zeros((), jnp.int32),
         mem_sg=jnp.zeros(caps["MEMCAP"], jnp.int32),
         mem_tid=jnp.zeros(caps["MEMCAP"], jnp.int32),
+        mem_chunk=jnp.zeros(caps["MEMCAP"], jnp.int32),
         mem_n=jnp.zeros((), jnp.int32),
         claim1=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
         claim2=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
@@ -607,12 +751,15 @@ def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
 
 
 def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
-                   readlength_hdr: int, fl_min: int, fl_max: int
-                   ) -> RshIndex:
-    """Fetch the aggregated device results and assemble the RshIndex."""
+                   readlength_hdr: int, fl_min: int, fl_max: int,
+                   drained=None) -> RshIndex:
+    """Fetch the aggregated device results and assemble the RshIndex.
+
+    ``drained``: exemplar-member (sg, tid, chunk) batches already pulled
+    off the device mid-build by partitioned builds."""
     uh1, uh2, uh3fl, ucnt, n_unique = _tab_finalize(
         state["tab_flag"], state["tab_h1"], state["tab_h2"],
-        state["tab_h3fl"], UCAP=caps["UCAP"])
+        state["tab_h3fl"], state["tab_cnt"], UCAP=caps["UCAP"])
     flags = np.asarray(state["flags"])
     if flags.any():
         raise DeviceBuildOverflow(f"device buffer overflow (flags={flags})")
@@ -633,9 +780,12 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     mem_n = int(np.asarray(state["mem_n"]))
     mem_sg = fetch(state["mem_sg"], mem_n)
     mem_tid = fetch(state["mem_tid"], mem_n)
-    mem_chunk = None
-    if "mem_chunk" in state:
-        mem_chunk = fetch(state["mem_chunk"], mem_n)
+    mem_chunk = fetch(state["mem_chunk"], mem_n)
+    if drained:
+        mem_sg = np.concatenate([c[0] for c in drained] + [mem_sg])
+        mem_tid = np.concatenate([c[1] for c in drained] + [mem_tid])
+        mem_chunk = np.concatenate([c[2] for c in drained] + [mem_chunk])
+        mem_n = len(mem_sg)
     dense = np.asarray(state["dense"]).reshape(tx.n_transcripts, nfl)
 
     # resolve exemplar multisets (vectorized: member rows grouped by their
@@ -643,16 +793,11 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     # run id may repeat across chunks when the builder partitions; the
     # (chunk, run) pair is then the group key.
     if mem_n:
-        if mem_chunk is not None:
-            order = np.lexsort((mem_tid, mem_sg, mem_chunk))
-            sg_s = mem_sg[order]
-            ck_s = mem_chunk[order]
-            newgrp = np.concatenate([[True], (sg_s[1:] != sg_s[:-1]) |
-                                     (ck_s[1:] != ck_s[:-1])])
-        else:
-            order = np.lexsort((mem_tid, mem_sg))
-            sg_s = mem_sg[order]
-            newgrp = np.concatenate([[True], sg_s[1:] != sg_s[:-1]])
+        order = np.lexsort((mem_tid, mem_sg, mem_chunk))
+        sg_s = mem_sg[order]
+        ck_s = mem_chunk[order]
+        newgrp = np.concatenate([[True], (sg_s[1:] != sg_s[:-1]) |
+                                 (ck_s[1:] != ck_s[:-1])])
         tid_s = mem_tid[order].astype(np.int32)  # sorted within each group
         starts = np.flatnonzero(newgrp)
         g_sizes = np.diff(np.append(starts, mem_n))
@@ -833,7 +978,16 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
 
 def build_se_index_device(tx: Transcriptome, readlength_min: int,
                           readlength_max: int, cfg: BuildConfig) -> RshIndex:
-    """SE rsh index over a read-length range, fully device-resident."""
+    """SE rsh index over a read-length range, fully device-resident.
+
+    Builds whose window count exceeds one sort's budget are partitioned by
+    canonical-sequence prefix: equal windows share a prefix, so runs never
+    cross buckets and per-bucket accumulation composes exactly.  This is
+    the reference's generate_seqtag idea
+    (src/emsar_functions.c:1233-1264) generalized: buckets come from the
+    2-bit packed words already on device, the bucket count adapts to the
+    observed histogram, and the record table folds in place so memory
+    stays bounded at any transcriptome size."""
     lmin, lmax = int(readlength_min), int(readlength_max)
     nfl = lmax - lmin + 1
     if nfl >= MAX_NFL_PACKED:
@@ -844,11 +998,15 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
     if n0 <= 0:
         raise DeviceBuildUnsupported("read length exceeds transcriptome")
     Npad = _next_pow2(n0)
-    if Npad > getattr(cfg, "device_sort_limit", 1 << 26):
-        raise DeviceBuildUnsupported("too many windows for one device sort")
+    limit = getattr(cfg, "device_sort_limit", 1 << 26)
+    if Npad <= limit:
+        return _build_se_single(tx, lmin, lmax, nfl, Npad, cfg)
+    return _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg)
+
+
+def _build_se_single(tx, lmin, lmax, nfl, Npad, cfg) -> RshIndex:
     if (nfl + 1) * Npad >= 2**31 - 1:
         raise DeviceBuildUnsupported("window ids exceed int32")
-
     with phase("SE dev: reference upload", cfg.verbose):
         ref = DeviceRef(tx)
     caps = _caps(sum(int(tx.borderpos) - l + 1
@@ -875,3 +1033,96 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
 
     with phase("SE dev: finalize", cfg.verbose):
         return _finalize_host(tx, state, caps, nfl, -1, lmin, lmax)
+
+
+def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
+    unstranded = not cfg.strand.stranded
+    borderpos, seqlength = int(tx.borderpos), int(tx.seqlength)
+    with phase("SE dev: reference upload", cfg.verbose):
+        ref = DeviceRef(tx)
+    ncand = sum(max(borderpos - l + 1, 0) for l in range(lmin, lmax + 1))
+    caps = _caps_partitioned(ncand)
+    state = _init_state(tx.n_transcripts, nfl, caps)
+    drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    # adaptive prefix length: start with the smallest k whose *average*
+    # bucket fits in a quarter of the sort budget, grow k if the observed
+    # max bucket still exceeds it (poly-A-style skew)
+    kbits = 2
+    while (n0 >> kbits) > limit // 4 and kbits < 16:
+        kbits += 2
+    kbits = min(kbits, 2 * min(lmin, 16))
+
+    chunk_id = 0
+    slab = min(_next_pow2(n0), 1 << 25)
+    n0pad = _pad_to(n0, slab)
+    prefix_buf = jnp.zeros(n0pad, jnp.uint16)
+    for l in range(lmin, lmax + 1):
+        n_l = borderpos - l + 1
+        if n_l <= 0:
+            continue
+        while True:  # kbits escalation loop
+            B = 1 << kbits
+            with phase(f"SE dev: l{l} prefix pass (k={kbits // 2}b)",
+                       cfg.verbose):
+                for s0 in range(0, n0pad, slab):
+                    pre = _se_prefix_slab(
+                        ref.p16, ref.badp, jnp.int32(s0), slab=slab,
+                        kbits=kbits, unstranded=unstranded,
+                        borderpos=borderpos, seqlength=seqlength,
+                        readlength=l, Lp=ref.Lp)
+                    prefix_buf = jax.lax.dynamic_update_slice(
+                        prefix_buf, pre, (s0,))
+                counts = np.asarray(_prefix_hist(prefix_buf, nbuckets=B + 1))
+            maxb = int(counts[:B].max()) if B else 0
+            if maxb <= limit or kbits >= min(16, 2 * min(l, 16)):
+                break
+            kbits += 2
+        Bcap = _next_pow2(max(maxb, 1024))
+        if Bcap > limit:
+            raise DeviceBuildUnsupported(
+                f"prefix bucket of {maxb} windows exceeds the sort budget "
+                f"even at {kbits // 2}-base prefixes")
+        U = min(Bcap, caps["TABCAP"] // 4)
+        C2 = min(1 << 19, Bcap, caps["MEMCAP"] // 4)
+        with phase(f"SE dev: l{l} {B} buckets (cap {Bcap})", cfg.verbose):
+            for b in range(B):
+                if counts[b] == 0:
+                    continue
+                posbuf, cnt = _bucket_compact(prefix_buf, jnp.uint32(b),
+                                              Bcap=Bcap)
+                state = _se_launch_part(
+                    state, ref.p16, ref.cuml, posbuf, cnt,
+                    jnp.int32(l - lmin), jnp.int32(chunk_id), nfl=nfl,
+                    max_repeat=int(cfg.max_repeat), U=U, C2=C2,
+                    unstranded=unstranded, seqlength=seqlength,
+                    readlength=l, Lp=ref.Lp)
+                chunk_id += 1
+                state, drained = _maintain(state, caps, drained, U, C2)
+
+    with phase("SE dev: finalize", cfg.verbose):
+        return _finalize_host(tx, state, caps, nfl, -1, lmin, lmax,
+                              drained=drained)
+
+
+def _maintain(state, caps, drained, U, C2):
+    """Per-launch maintenance (one small sync): abort on overflow flags,
+    fold the record table when the next launch might not fit, drain
+    exemplar members to the host past half capacity."""
+    scal = np.asarray(jnp.stack([state["mem_n"], state["tab_n"],
+                                 state["flags"][0], state["flags"][1]]))
+    if scal[2] or scal[3]:
+        raise DeviceBuildOverflow(
+            f"device buffer overflow (tab={bool(scal[2])}, "
+            f"mem={bool(scal[3])})")
+    if int(scal[1]) + U > caps["TABCAP"] - U:
+        state = _tab_fold(state)
+    mem_n = int(scal[0])
+    if mem_n > caps["MEMCAP"] // 2:
+        k = min(_next_pow2(max(mem_n, 1)), caps["MEMCAP"])
+        drained.append((np.asarray(state["mem_sg"][:k])[:mem_n].copy(),
+                        np.asarray(state["mem_tid"][:k])[:mem_n].copy(),
+                        np.asarray(state["mem_chunk"][:k])[:mem_n].copy()))
+        state = dict(state)
+        state["mem_n"] = jnp.zeros((), jnp.int32)
+    return state, drained

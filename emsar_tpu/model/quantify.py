@@ -121,15 +121,45 @@ def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
     """[num_round, ntid] FPKM rounds: round 0 is the deterministic solve
     (golden-stable), rounds 1..n-1 are random-restart solves whose spread
     across the flat maximizer manifold populates sd.of.FPKM (reference
-    NUM_ROUND loop, src/emsar_main.c:441-450)."""
+    NUM_ROUND loop, src/emsar_main.c:441-450).
+
+    Cost controls (exact, not approximations): transcripts in
+    single-transcript modules have a unique maximizer — every round lands
+    on round 0's value and their sd is exactly 0 — so restarts solve only
+    the edge subset of multi-transcript modules.  The restart epsilon is
+    looser than round 0's: the sd column reports manifold spread (orders
+    of magnitude above convergence error)."""
     if cfg.num_round <= 1:
         return fpkm[None, :].copy()
+    from .solver import SolverProblem, solve_restart_rounds
+
     with phase("restart rounds", cfg.verbose):
-        from .solver import solve_restart_rounds
+        # a transcript sits in a multi-transcript module iff some segment
+        # of its module holds >= 2 distinct tids; module connectivity runs
+        # only through shared segments, so direct sharing is equivalent
+        ntid = problem.n_transcripts
+        denom_pos = problem.denom > 0
+        e_cid = problem.edge_cid
+        seg_deg = np.zeros(len(problem.eumaps), dtype=np.int64)
+        np.add.at(seg_deg, e_cid, 1)
+        multi_tid = np.zeros(ntid, dtype=bool)
+        multi_tid[problem.edge_tid[seg_deg[e_cid] >= 2]] = True
+        keep = multi_tid[problem.edge_tid]
+        if not keep.any():
+            return np.broadcast_to(fpkm, (cfg.num_round, ntid)).copy()
+        sub = SolverProblem(
+            n_transcripts=ntid, edge_cid=problem.edge_cid[keep],
+            edge_tid=problem.edge_tid[keep],
+            edge_mult=problem.edge_mult[keep], eumaps=problem.eumaps,
+            reads=problem.reads,
+            denom=np.where(multi_tid, problem.denom, 0.0))
         extra = solve_restart_rounds(
-            problem, cfg.num_round - 1, epsilon=cfg.epsilon,
+            sub, cfg.num_round - 1, epsilon=max(cfg.epsilon, 1e-4),
             max_iters=cfg.max_niter_mle, block_iters=cfg.solver_block_iters,
-            dtype=dtype, seed=cfg.rng_seed if cfg.rng_seed is not None else 0)
+            dtype=dtype, seed=cfg.rng_seed if cfg.rng_seed is not None else 0,
+            polish=False)
+        extra = np.where(multi_tid[None, :] & denom_pos[None, :], extra,
+                         fpkm[None, :])
     return np.concatenate([fpkm[None, :], extra], axis=0)
 
 

@@ -60,6 +60,34 @@ def test_multiset_hash_host_device_agree():
     assert h == h_perm
 
 
+@pytest.mark.parametrize("strand,limit", [("ns", 1 << 12), ("ns", 1 << 10),
+                                          ("ssf", 1 << 11)])
+def test_partitioned_se_matches_single(tmp_path, strand, limit,
+                                       monkeypatch):
+    """Forcing a tiny sort budget drives the prefix-partitioned path
+    (bucket compaction, per-launch ids, tab folding, mem draining); output
+    must stay byte-identical to the single-launch build."""
+    rng = np.random.default_rng(140)
+    names, seqs = random_transcriptome(rng, 40, min_len=60, max_len=400,
+                                       shared_frac=0.5, n_frac=0.01)
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(strand=StrandType.parse(strand, False), verbose=0)
+    single = build_se_index(tx, 20, 22, cfg, backend="device")
+    cfg.device_sort_limit = limit
+    # shrink live-buffer caps so folding and member draining actually run
+    real_caps = device_build._caps_partitioned
+
+    def tiny_caps(ncand):
+        c = real_caps(ncand)
+        c["TABCAP"] = min(c["TABCAP"], 1 << 13)
+        c["MEMCAP"] = min(c["MEMCAP"], 1 << 12)
+        return c
+
+    monkeypatch.setattr(device_build, "_caps_partitioned", tiny_caps)
+    part = build_se_index(tx, 20, 22, cfg, backend="device")
+    assert _text(part, tmp_path, "p.rsh") == _text(single, tmp_path, "1.rsh")
+
+
 def test_small_chunk_budget_pe(tmp_path):
     """Many tiny chunks (cluster-boundary overlap logic) must not change
     the output."""
