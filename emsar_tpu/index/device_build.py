@@ -296,8 +296,87 @@ def _rank_kernel(p16, badp, Npad: int, n_fw: int, two_halves: bool,
 
 
 # --------------------------------------------------------------------------
-# shared post-sort accumulation (runs -> dense singles + signature records)
+# partitioned rank pass (PE builds beyond the single-sort limit)
 # --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("slab", "kbits", "n_fw", "two_halves",
+                              "borderpos", "seqlength", "readlength", "Lp"))
+def _pe_prefix_slab(p16, badp, start, slab: int, kbits: int, n_fw: int,
+                    two_halves: bool, borderpos: int, seqlength: int,
+                    readlength: int, Lp: int):
+    """Prefix bucket of the literal mate1 window at rank-pass index i
+    (both halves when unstranded); invalid windows map to 0xFFFF."""
+    rl = readlength
+    i = start + jnp.arange(slab, dtype=jnp.int32)
+    n_total = n_fw * 2 if two_halves else n_fw
+    if two_halves:
+        pos = jnp.where(i < n_fw, i, seqlength - rl - (i - n_fw))
+    else:
+        pos = i
+    posc = jnp.clip(pos, 0, Lp - rl - 17)
+    valid = (i < n_total) & ((badp[posc + rl] - badp[posc]) == 0)
+    w0 = p16[posc]
+    if rl < 16:
+        sh = jnp.uint32(2 * (16 - rl))
+        w0 = (w0 >> sh) << sh
+    pre = (w0 >> jnp.uint32(32 - kbits)).astype(jnp.uint16)
+    return jnp.where(valid, pre, jnp.uint16(0xFFFF))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Bcap", "n_fw", "two_halves", "borderpos",
+                              "seqlength", "readlength", "Lp"),
+    donate_argnums=(0, 1, 2))
+def _rank_bucket(R, spos_glob, rank_glob, p16, prefix, b, rank_off,
+                 valid_off, Bcap: int, n_fw: int, two_halves: bool,
+                 borderpos: int, seqlength: int, readlength: int, Lp: int):
+    """One prefix bucket of the rank pass: compact its window positions,
+    sort by 128-bit window hash, assign globally-offset ranks, scatter
+    into R, and append the sorted (pos, rank) stream at valid_off.
+    Returns (R, spos_glob, rank_glob, n_distinct, n_valid, max_cluster).
+
+    Equal windows share a prefix, so per-bucket grouping composes exactly;
+    bucket-major rank order is a total order over distinct windows, which
+    is all the downstream orientation rules need (module docstring)."""
+    rl = readlength
+    n = prefix.shape[0]
+    m = prefix == b.astype(jnp.uint16)
+    idx = jnp.cumsum(m.astype(jnp.int32)) - 1
+    ibuf = jnp.full(Bcap, n, jnp.int32).at[
+        jnp.where(m, idx, Bcap)].set(jnp.arange(n, dtype=jnp.int32),
+                                     mode="drop")
+    cnt = jnp.sum(m, dtype=jnp.int32)
+    j = jnp.arange(Bcap, dtype=jnp.int32)
+    valid = j < cnt
+    i = jnp.where(valid, ibuf, 0)
+    if two_halves:
+        pos = jnp.where(i < n_fw, i, seqlength - rl - (i - n_fw))
+    else:
+        pos = i
+    posc = jnp.clip(pos, 0, Lp - rl - 17)
+    h = _window_hash(p16, posc, rl)
+    keyv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort((keyv,) + tuple(h[:, k] for k in range(4)) + (pos,),
+                       num_keys=5, is_stable=False)
+    kv = out[0]
+    keys = jnp.stack(out[1:5], axis=1)
+    spos = out[5]
+    diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    rank = jnp.cumsum(start.astype(jnp.int32)) - 1 + rank_off
+    vsorted = kv == 0
+    n_distinct = jnp.max(jnp.where(vsorted,
+                                   rank - rank_off + 1, 0))
+    rank = jnp.where(vsorted, rank, BIG_RANK)
+    R = R.at[jnp.where(vsorted, spos, Lp)].set(rank, mode="drop")
+    ii = jnp.arange(Bcap, dtype=jnp.int32)
+    _, ns = _run_bounds(start)
+    max_cluster = jnp.max(jnp.where(start & vsorted, ns - ii, 0))
+    spos_glob = jax.lax.dynamic_update_slice(spos_glob, spos, (valid_off,))
+    rank_glob = jax.lax.dynamic_update_slice(rank_glob, rank, (valid_off,))
+    return R, spos_glob, rank_glob, n_distinct, cnt, max_cluster
 
 
 def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
@@ -439,7 +518,7 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                      "borderpos", "seqlength", "readlength", "Lp"),
     donate_argnums=(0,))
 def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
-              chunk_base, d0,
+              chunk_id, d0,
               M: int, V: int, nfl: int, max_repeat: int, U: int, C2: int,
               unstranded: bool, borderpos: int, seqlength: int,
               readlength: int, Lp: int):
@@ -496,8 +575,11 @@ def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
                               (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
     validrow = sck != KEY_PAD
     d_ind = sidx % nfl
+    # run ids are chunk-local (base 0) + a chunk lane: candidate counts may
+    # exceed int32/uint32 at scale, and (chunk, id) is the identity anyway
     return _postsort_accumulate(state, startf, validrow, d_ind, stid,
-                                chunk_base, nfl, max_repeat, U, C2)
+                                jnp.int32(0), nfl, max_repeat, U, C2,
+                                chunk_id=chunk_id)
 
 
 # --------------------------------------------------------------------------
@@ -757,14 +839,19 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
 
     ``drained``: exemplar-member (sg, tid, chunk) batches already pulled
     off the device mid-build by partitioned builds."""
+    # sort only a prefix covering the live rows (appends are contiguous
+    # from 0) — sorting the whole capacity buffer wastes 10-30x
+    tab_n = int(np.asarray(state["tab_n"]))
+    K = min(_next_pow2(max(tab_n, 1024)), state["tab_flag"].shape[0])
     uh1, uh2, uh3fl, ucnt, n_unique = _tab_finalize(
-        state["tab_flag"], state["tab_h1"], state["tab_h2"],
-        state["tab_h3fl"], state["tab_cnt"], UCAP=caps["UCAP"])
+        state["tab_flag"][:K], state["tab_h1"][:K], state["tab_h2"][:K],
+        state["tab_h3fl"][:K], state["tab_cnt"][:K],
+        UCAP=min(caps["UCAP"], K))
     flags = np.asarray(state["flags"])
     if flags.any():
         raise DeviceBuildOverflow(f"device buffer overflow (flags={flags})")
     rows = int(np.asarray(n_unique))
-    if rows > caps["UCAP"]:
+    if rows > min(caps["UCAP"], K):
         raise DeviceBuildOverflow(
             f"unique (signature, fraglen) rows {rows} > UCAP {caps['UCAP']}")
 
@@ -884,6 +971,66 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
                     multi_euma=euma)
 
 
+def _pe_rank_partitioned(tx, ref, rl: int, Npos: int, two: bool,
+                         limit: int, cfg):
+    """Prefix-partitioned rank pass for PE builds beyond one sort's
+    budget; returns (spos, rank, max_cluster, n_valid, R) shaped like
+    _rank_kernel's outputs (spos/rank are the bucket-major concatenated
+    streams)."""
+    borderpos, seqlength = int(tx.borderpos), int(tx.seqlength)
+    n_fw = borderpos - rl + 1
+    kbits = 2
+    while (Npos >> kbits) > limit // 4 and kbits < 16:
+        kbits += 2
+    kbits = min(kbits, 2 * min(rl, 16))
+    slab = min(_next_pow2(Npos), 1 << 25)
+    npad = _pad_to(Npos, slab)
+    prefix_buf = jnp.zeros(npad, jnp.uint16)
+    while True:
+        B = 1 << kbits
+        with phase(f"PE dev: rank prefix pass (k={kbits // 2}b)",
+                   cfg.verbose):
+            for s0 in range(0, npad, slab):
+                pre = _pe_prefix_slab(
+                    ref.p16, ref.badp, jnp.int32(s0), slab=slab,
+                    kbits=kbits, n_fw=n_fw, two_halves=two,
+                    borderpos=borderpos, seqlength=seqlength,
+                    readlength=rl, Lp=ref.Lp)
+                prefix_buf = jax.lax.dynamic_update_slice(prefix_buf, pre,
+                                                          (s0,))
+            counts = np.asarray(_prefix_hist(prefix_buf, nbuckets=B + 1))
+        maxb = int(counts[:B].max()) if B else 0
+        if maxb <= limit or kbits >= min(16, 2 * min(rl, 16)):
+            break
+        kbits += 2
+    Bcap = _next_pow2(max(maxb, 1024))
+    if Bcap > limit:
+        raise DeviceBuildUnsupported(
+            f"rank bucket of {maxb} windows exceeds the sort budget")
+
+    R = jnp.full(ref.Lp, BIG_RANK, dtype=jnp.int32)
+    SG = jnp.zeros(Npos + Bcap + 8, jnp.int32)
+    RG = jnp.full(Npos + Bcap + 8, BIG_RANK, jnp.int32)
+    rank_off = 0
+    valid_off = 0
+    maxcl = 0
+    with phase(f"PE dev: rank pass ({1 << kbits} buckets, cap {Bcap})",
+               cfg.verbose):
+        for b in range(1 << kbits):
+            if counts[b] == 0:
+                continue
+            R, SG, RG, nd, cnt, mc = _rank_bucket(
+                R, SG, RG, ref.p16, prefix_buf, jnp.uint32(b),
+                jnp.int32(rank_off), jnp.int32(valid_off), Bcap=Bcap,
+                n_fw=n_fw, two_halves=two, borderpos=borderpos,
+                seqlength=seqlength, readlength=rl, Lp=ref.Lp)
+            scal = np.asarray(jnp.stack([nd, cnt, mc]))
+            rank_off += int(scal[0])
+            valid_off += int(scal[1])
+            maxcl = max(maxcl, int(scal[2]))
+    return SG, RG, maxcl, valid_off, R
+
+
 def build_pe_index_device(tx: Transcriptome, readlength: int,
                           cfg: BuildConfig) -> RshIndex:
     """PE rsh index, fully device-resident (see module docstring)."""
@@ -902,18 +1049,21 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     two = not stranded
     Npos = n_fw * (2 if two else 1)
     Npad = _next_pow2(Npos)
-    if Npad > getattr(cfg, "device_sort_limit", 1 << 26):
-        raise DeviceBuildUnsupported(f"{Npos} windows > device sort limit")
+    limit = getattr(cfg, "device_sort_limit", 1 << 26)
 
     with phase("PE dev: reference upload", cfg.verbose):
         ref = DeviceRef(tx)
-    with phase("PE dev: rank pass", cfg.verbose):
-        spos, rank, R, maxcl, nvalid = _rank_kernel(
-            ref.p16, ref.badp, Npad=Npad, n_fw=n_fw, two_halves=two,
-            borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
-            readlength=rl, Lp=ref.Lp)
-        scal = np.asarray(jnp.stack([maxcl, nvalid]))
-        maxcl_i, nvalid_i = int(scal[0]), int(scal[1])
+    if Npad <= limit:
+        with phase("PE dev: rank pass", cfg.verbose):
+            spos, rank, R, maxcl, nvalid = _rank_kernel(
+                ref.p16, ref.badp, Npad=Npad, n_fw=n_fw, two_halves=two,
+                borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
+                readlength=rl, Lp=ref.Lp)
+            scal = np.asarray(jnp.stack([maxcl, nvalid]))
+            maxcl_i, nvalid_i = int(scal[0]), int(scal[1])
+    else:
+        spos, rank, maxcl_i, nvalid_i, R = _pe_rank_partitioned(
+            tx, ref, rl, Npos, two, limit, cfg)
 
     V = _next_pow2(max(maxcl_i + 1, 8))
     if V * nfl * 2 > max(int(cfg.pe_chunk_candidates), 4 * nfl):
@@ -928,8 +1078,6 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     M = MV - V
     E = MV * nfl
     n_chunks = max((nvalid_i + M - 1) // M, 1)
-    if n_chunks * E >= 2**31 - E:
-        raise DeviceBuildUnsupported("candidate ids exceed int32")
 
     with phase("PE dev: prep", cfg.verbose):
         m1pos_ext = jnp.concatenate(
@@ -951,29 +1099,37 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
 
     import os as _os
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
+    drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    U = min(1 << 22, E, caps["TABCAP"] // 4)
+    C2 = min(1 << 17, E, caps["MEMCAP"] // 4)
+    # sync cadence: keep the dispatch pipeline deep, but the record table
+    # must absorb `maintain_every` worst-case appends past its fold
+    # trigger and the member buffer the same past its drain threshold
+    maintain_every = max(1, min(caps["TABCAP"] // (4 * U),
+                                (caps["MEMCAP"] // 2) // C2 - 1))
     with phase("PE dev: expansion", cfg.verbose):
         d0 = fl_min - rl
-        base = 0
         import time as _time
         for k in range(n_chunks):
             if profile:
                 t0 = _time.perf_counter()
             state = _pe_chunk(
                 state, RW, RF32, T32, ref.nsep, m1pos_ext, m1rank_ext,
-                jnp.int32(1 + k * M), jnp.int32(base), jnp.int32(d0),
+                jnp.int32(1 + k * M), jnp.int32(k), jnp.int32(d0),
                 M=M, V=V, nfl=nfl, max_repeat=int(cfg.max_repeat),
-                U=min(1 << 22, E, caps["TABCAP"] // 2),
-                C2=min(1 << 17, E, caps["MEMCAP"] // 2), unstranded=two,
+                U=U, C2=C2, unstranded=two,
                 borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
                 readlength=rl, Lp=ref.Lp)
-            base += E
+            if (k + 1) % maintain_every == 0 and k + 1 < n_chunks:
+                state, drained = _maintain(state, caps, drained, U, C2)
             if profile:
                 np.asarray(state["flags"])
                 print(f"[profile] chunk {k}: "
                       f"{_time.perf_counter() - t0:.3f}s", flush=True)
 
     with phase("PE dev: finalize", cfg.verbose):
-        return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max)
+        return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max,
+                              drained=drained)
 
 
 def build_se_index_device(tx: Transcriptome, readlength_min: int,

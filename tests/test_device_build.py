@@ -88,6 +88,23 @@ def test_partitioned_se_matches_single(tmp_path, strand, limit,
     assert _text(part, tmp_path, "p.rsh") == _text(single, tmp_path, "1.rsh")
 
 
+@pytest.mark.parametrize("strand", ["ns", "ssfr"])
+def test_partitioned_pe_matches_single(tmp_path, strand):
+    """Forcing a tiny sort budget drives the partitioned PE rank pass
+    (bucketed ranks with global offsets, chunk-local candidate ids);
+    output must stay byte-identical to the single-launch build."""
+    rng = np.random.default_rng(141)
+    names, seqs = random_transcriptome(rng, 30, min_len=100, max_len=400,
+                                       shared_frac=0.5)
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(pe=True, strand=StrandType.parse(strand, True),
+                      min_fraglength=60, max_fraglength=100, verbose=0)
+    single = build_pe_index(tx, 24, cfg, backend="device")
+    cfg.device_sort_limit = 1 << 11
+    part = build_pe_index(tx, 24, cfg, backend="device")
+    assert _text(part, tmp_path, "p.rsh") == _text(single, tmp_path, "1.rsh")
+
+
 def test_small_chunk_budget_pe(tmp_path):
     """Many tiny chunks (cluster-boundary overlap logic) must not change
     the output."""

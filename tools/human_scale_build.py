@@ -1,0 +1,116 @@
+"""Human-transcriptome-scale index-build demonstration.
+
+Generates a ~190 Mbp / ~150k-transcript gene-family transcriptome (the
+scale of human cDNA), builds the SE rsh index with the reference binary
+and with the prefix-partitioned device builder, byte-compares the
+outputs, and reports wall times.
+
+Usage:  python tools/human_scale_build.py [--genes N] [--readlength L]
+        [--cpu] [--skip-ref]
+
+The fixture and the reference build are cached under bench_cache/ so the
+expensive parts run once.  On the TPU the first run pays one-time remote
+compiles per kernel shape (cached in bench_cache/jit_cache).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "bench_cache")
+REF_BUILD = "/root/reference/src/emsar-build"
+
+
+def log(msg):
+    print(f"[human-scale] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genes", type=int, default=25000)
+    ap.add_argument("--readlength", type=int, default=76)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="skip the reference build/diff (timing only)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.path.join(CACHE, "jit_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    log(f"jax platform: {jax.devices()[0].platform}")
+
+    tag = f"human{args.genes}"
+    fasta = os.path.join(CACHE, f"{tag}.fa")
+    if not os.path.exists(fasta):
+        from emsar_tpu.sim import gene_family_transcriptome
+        from tests.util import write_fasta
+        log(f"generating {args.genes}-gene transcriptome...")
+        rng = np.random.default_rng(99)
+        names, seqs, _ = gene_family_transcriptome(rng, args.genes)
+        log(f"{len(names)} transcripts, "
+            f"{sum(len(s) for s in seqs) / 1e6:.0f} Mbp")
+        write_fasta(fasta, names, seqs)
+
+    from emsar_tpu.io.fasta import read_fasta
+    log("reading fasta...")
+    tx = read_fasta(fasta, "E")
+    log(f"{tx.n_transcripts} transcripts, seq_array {tx.seqlength / 1e6:.0f}"
+        f" M chars ({tx.borderpos / 1e6:.0f} M fw)")
+
+    rl = args.readlength
+    ref_rsh = os.path.join(CACHE, f"{tag}.l{rl}.ref.rsh")
+    t_ref = None
+    if not args.skip_ref:
+        if not os.path.exists(ref_rsh):
+            log(f"reference emsar-build l{rl} (single run, cached)...")
+            t0 = time.perf_counter()
+            subprocess.run([REF_BUILD, "-q", fasta, str(rl), CACHE,
+                            f"{tag}.l{rl}.ref"], check=True)
+            t_ref = time.perf_counter() - t0
+            with open(ref_rsh + ".time", "w") as fh:
+                fh.write(f"{t_ref:.2f}\n")
+            log(f"reference build: {t_ref:.1f}s")
+        else:
+            with open(ref_rsh + ".time") as fh:
+                t_ref = float(fh.read().strip())
+            log(f"reference build (cached): {t_ref:.1f}s")
+
+    from emsar_tpu.config import BuildConfig, StrandType
+    from emsar_tpu.index.build import build_se_index
+    cfg = BuildConfig(verbose=2)
+    cfg.strand = StrandType.parse("ns", False)
+    log(f"device build l{rl} starting...")
+    t0 = time.perf_counter()
+    idx = build_se_index(tx, rl, rl, cfg)
+    t_ours = time.perf_counter() - t0
+    log(f"device build: {t_ours:.1f}s")
+
+    ours_rsh = os.path.join(CACHE, f"{tag}.l{rl}.ours.rsh")
+    t0 = time.perf_counter()
+    idx.write_text(ours_rsh)
+    log(f"write .rsh: {time.perf_counter() - t0:.1f}s")
+
+    if not args.skip_ref:
+        same = open(ours_rsh, "rb").read() == open(ref_rsh, "rb").read()
+        log(f"byte-identical: {same}")
+        print(f"RESULT ref={t_ref:.1f}s ours={t_ours:.1f}s "
+              f"identical={same}")
+        if not same:
+            raise SystemExit(1)
+    else:
+        print(f"RESULT ours={t_ours:.1f}s (reference skipped)")
+
+
+if __name__ == "__main__":
+    main()
