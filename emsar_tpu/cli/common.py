@@ -16,6 +16,10 @@ def setup_jax(enable_x64: bool = True) -> None:
         jax.config.update("jax_platforms", plat)
     if enable_x64:
         jax.config.update("jax_enable_x64", True)
+    # multi-host runs: jax.distributed must initialize before any backend
+    # use (no-op without EMSAR_TPU_COORDINATOR)
+    from ..parallel import dist
+    dist.maybe_init_from_env()
     # persistent compile cache: kernel executables are reused across CLI
     # invocations (EMSAR_TPU_JIT_CACHE=\"\" disables)
     cache = os.environ.get(

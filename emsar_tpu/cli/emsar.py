@@ -40,7 +40,8 @@ LONG = ["rsh=", "fasta=", "print_segments", "print_sfa", "print_rsh", "BAM",
         "maxthread=", "header=", "taglen=", "maxfraglen=", "minfraglen=",
         "max_repeat=", "nround=", "epsilon=", "precision=", "delta=",
         "max_niter_mle=", "max_nloop_mle=", "verbose", "no_verbose",
-        "batch_samples", "solver_dtype=", "solver_mode=", "solver_pallas"]
+        "batch_samples", "solver_dtype=", "solver_mode=", "solver_pallas",
+        "dist_merge_shards"]
 
 
 def usage(prog: str) -> None:
@@ -150,6 +151,8 @@ def main(argv=None) -> int:
             cfg.print_rsh = True
         elif o == "--batch_samples":
             cfg.batch_samples = True
+        elif o == "--dist_merge_shards":
+            cfg.dist_merge_shards = True
         elif o == "--solver_dtype":
             cfg.solver_dtype = a
         elif o == "--solver_mode":
@@ -310,6 +313,10 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
         with phase("building native ingest tables", cfg.verbose):
             native_collapser = native_mod.NativeCollapser(index)
 
+    if cfg.dist_merge_shards:
+        return _run_dist_shards(cfg, index, name_to_tid, native_collapser,
+                                pe_readlength, outdir, outprefix, alnfiles)
+
     if cfg.batch_samples and cfg.multisample and len(alnfiles) > 1:
         rc = _run_batched(cfg, index, name_to_tid, native_collapser,
                           pe_readlength, outdir, outprefix, alnfiles)
@@ -358,6 +365,76 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
 
         if cfg.verbose > 0:
             print(f"Complete: Output file :\n  {fpkm_path}\n  {fl_path}")
+    return 0
+
+
+def _run_dist_shards(cfg: QuantConfig, index: RshIndex, name_to_tid,
+                     native_collapser, pe_readlength, outdir, outprefix,
+                     alnfiles) -> int:
+    """--dist_merge_shards: the alignment list holds shards of ONE sample.
+    Each process collapses its slice locally, counts merge across hosts
+    (exact integer sums), every process quantifies the identical merged
+    counts, and process 0 writes the single output (parallel/dist.py
+    runbook).  Single-process runs reduce to an in-process shard loop, so
+    the path is testable anywhere."""
+    import dataclasses as _dc
+
+    from ..parallel import dist
+
+    local_files = dist.shard_list(alnfiles)
+    merged = None
+    for alnfile in local_files:
+        with phase(f"reading alignment shard {alnfile}", cfg.verbose):
+            if native_collapser is not None:
+                c = native_collapser.collapse_file(
+                    alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
+                    cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
+                    pe_readlength if cfg.pe else None,
+                    nthreads=cfg.max_threads)
+            else:
+                c = _collapse_python(index, name_to_tid, cfg, alnfile,
+                                     pe_readlength)
+        if merged is None:
+            merged = c
+        else:
+            merged = _dc.replace(
+                merged,
+                single_counts=merged.single_counts + c.single_counts,
+                multi_counts=merged.multi_counts + c.multi_counts,
+                fraglength_counts=(merged.fraglength_counts
+                                   + c.fraglength_counts),
+                total_read_count=(merged.total_read_count
+                                  + c.total_read_count))
+    if merged is None:  # more processes than shards
+        from ..ingest.collapse import SampleCounts
+        merged = SampleCounts(
+            single_counts=np.zeros(index.n_transcripts, dtype=np.int64),
+            multi_counts=np.zeros(index.n_multi, dtype=np.int64),
+            fraglength_counts=np.zeros(
+                max(cfg.max_fraglength, index.fraglen_max) + 1,
+                dtype=np.int64),
+            total_read_count=0)
+
+    with phase("merging shard counts across hosts", cfg.verbose):
+        merged = dist.allreduce_counts(merged)
+
+    result = quantify_sample(index, merged, cfg)
+    if dist.is_main():
+        fpkm_path = os.path.join(outdir, f"{outprefix}.0.fpkm")
+        write_fpkm(fpkm_path, index.names, result.fpkm_rounds, result.ieuma,
+                   result.total_read_count, cfg.verbose)
+        fl_path = os.path.join(outdir, f"{outprefix}.0.fraglength_effect")
+        write_fraglength_dist(fl_path, index.fraglen_min, index.n_fraglen,
+                              merged.fraglength_counts, result.wf)
+        if cfg.print_segments:
+            seg_path = os.path.join(outdir, f"{outprefix}.0.segments")
+            write_segments(seg_path, index.names, result.graph.ct_offsets,
+                           result.graph.ct_tids, result.modules.cs,
+                           result.adj_euma, result.graph.read_count,
+                           result.fpkm, result.total_read_count)
+        if cfg.verbose > 0:
+            print(f"Complete: Output file :\n  {fpkm_path}\n  {fl_path}")
+    dist.barrier()
     return 0
 
 

@@ -101,6 +101,10 @@ class QuantConfig:
     verbose: int = 1
     # TPU-specific knobs
     batch_samples: bool = False  # -M: one batched device solve over samples
+    # -M + --dist_merge_shards: the file list holds shards of ONE sample;
+    # each jax.distributed process ingests its slice, counts are merged
+    # across hosts, process 0 writes the single output (parallel/dist.py)
+    dist_merge_shards: bool = False
     solver_mode: str = "auto"  # 'auto' (dense batches + CSR rest) | 'csr'
     solver_pallas: bool = False  # VMEM-resident Pallas EM blocks
     # 'auto': float64 on CPU, float32 (+ host f64 polish) on TPU — f64 EM
