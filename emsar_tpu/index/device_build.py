@@ -173,13 +173,13 @@ class DeviceRef:
         Lp = _pad_to(L + 64, 256)
         self.Lp = Lp
         codes = tx.codes
-        packed = np.zeros(Lp // 4, dtype=np.uint8)
+        packed = np.zeros(Lp // 4 + 8, dtype=np.uint8)  # +8: gather guard
         c = np.zeros(Lp, dtype=np.uint8)
         c[:L] = codes & 3
-        packed |= c[0::4] << 6
-        packed |= c[1::4] << 4
-        packed |= c[2::4] << 2
-        packed |= c[3::4]
+        packed[:Lp // 4] |= c[0::4] << 6
+        packed[:Lp // 4] |= c[1::4] << 4
+        packed[:Lp // 4] |= c[2::4] << 2
+        packed[:Lp // 4] |= c[3::4]
         badbits = np.zeros(Lp, dtype=bool)
         badbits[:L] = codes >= 4
         badbits[L:] = True
@@ -190,8 +190,16 @@ class DeviceRef:
         sepbits[L:] = True
         self._sepbits = jnp.asarray(np.packbits(sepbits))
         self.cuml = jnp.asarray(tx.cuml.astype(np.int32))
-        self.p16, self.badp, self.nsep = _unpack_ref(
-            self._packed, self._badbits, self._sepbits, Lp)
+        self.p16, self.badp = _unpack_ref(self._packed, self._badbits, Lp)
+        self._nsep = None
+
+    @property
+    def nsep(self):
+        """nsep[k] = index of the first '@'/'$' separator at or after k
+        (PE only; 4 bytes/position, so built lazily)."""
+        if self._nsep is None:
+            self._nsep = _nsep_kernel(self._sepbits, self.Lp)
+        return self._nsep
 
     def t32(self, readlength: int):
         """tid of every window-start position (reference sf_i,
@@ -201,24 +209,28 @@ class DeviceRef:
 
 
 @functools.partial(jax.jit, static_argnames=("Lp",))
-def _unpack_ref(packed, badbits, sepbits, Lp: int):
+def _unpack_ref(packed, badbits, Lp: int):
+    """p16[k] = 2-bit codes of bases [k, k+16), big-endian, built from 5
+    byte gathers + shifts (fuses into one pass; the earlier 16x roll
+    construction materialized multiple [Lp] u32 temps and OOMed at
+    human scale)."""
     i = jnp.arange(Lp, dtype=jnp.int32)
-    byte = packed[i >> 2]
-    shift = ((3 - (i & 3)) * 2).astype(jnp.uint8)
-    codes = (byte >> shift) & 3
+    bidx = i >> 2
+    b = [packed[bidx + j].astype(jnp.uint32) for j in range(5)]
+    W = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+    sh = (2 * (i & 3)).astype(jnp.uint32)
+    p16 = (W << sh) | (b[4] >> (jnp.uint32(8) - sh))
     bb = (badbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1
     badp = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(bb.astype(jnp.int32))])
+    return p16, badp
+
+
+@functools.partial(jax.jit, static_argnames=("Lp",))
+def _nsep_kernel(sepbits, Lp: int):
+    i = jnp.arange(Lp, dtype=jnp.int32)
     sep = ((sepbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1) == 1
-    # nsep[k] = index of the first '@'/'$' separator at or after k
-    nsep = jax.lax.cummin(jnp.where(sep, i, jnp.int32(Lp)), reverse=True)
-    # P16[k] = 2-bit codes of bases [k, k+16), big-endian
-    p16 = jnp.zeros(Lp, dtype=jnp.uint32)
-    cu = codes.astype(jnp.uint32)
-    for j in range(16):
-        shifted = jnp.roll(cu, -j)  # value at k+j lands at k
-        p16 = p16 | (shifted << jnp.uint32(2 * (15 - j)))
-    return p16, badp, nsep
+    return jax.lax.cummin(jnp.where(sep, i, jnp.int32(Lp)), reverse=True)
 
 
 @functools.partial(jax.jit,
