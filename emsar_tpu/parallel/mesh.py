@@ -52,17 +52,31 @@ class ShardedProblem:
 
     ``eumaps`` / ``denom`` may be per-sample ([S, C] / [S, T], sharded like
     reads) — multisample batches have per-sample fragment-length weights —
-    or shared ([C] / [T], replicated)."""
+    or shared ([C] / [T], replicated).
+
+    ``layout``:
+      * 'edges' — arbitrary balanced edge split over tp; theta/denom stay
+        [S, T] replicated within tp (both segment- and transcript-sums
+        psum over tp);
+      * 'transcript' — transcripts partitioned into tp contiguous blocks
+        and every edge stored on its transcript's shard, so theta/denom
+        shard over tp ([S, Tp/tp] per device: T-axis memory drops
+        tp-fold, BASELINE.json's very-large-transcriptome config) and
+        only the segment intensities psum over tp.
+    """
 
     n_transcripts: int
     n_segments: int
     edge_cid: jax.Array  # int32 [Ep] sharded P('tp')
-    edge_tid: jax.Array
+    edge_tid: jax.Array  # 'edges': global tid; 'transcript': block-local
     edge_mult: jax.Array
     eumaps: jax.Array  # [S, C] sharded P('dp', None) (or [C] replicated)
     reads: jax.Array  # [S, C] sharded P('dp', None)
-    denom: jax.Array  # [S, T] sharded P('dp', None) (or [T] replicated)
+    denom: jax.Array  # [S, T] P('dp', None) | [S, Tp] P('dp', 'tp')
     mesh: Mesh
+    layout: str = "edges"
+    t_padded: int = 0  # Tp ('transcript' layout), multiple of tp
+    theta0: Optional[jax.Array] = None  # optional warm start, like denom
 
 
 def init_distributed(coordinator: Optional[str] = None,
@@ -98,32 +112,17 @@ def shard_problem(problem: SolverProblem, reads_per_sample: np.ndarray,
     per-sample fragment-length distributions); defaults to the shared
     values in ``problem``.
 
-    ``shard_by``: 'edges' (arbitrary balanced split) or 'transcript'
-    (edges regrouped by tid so each tp shard owns contiguous transcript
-    blocks — the transcript-sharded index layout for very large
-    transcriptomes; identical results, different locality).
+    ``shard_by``: 'edges' (arbitrary balanced split; theta replicated
+    within tp) or 'transcript' (transcripts partitioned into tp contiguous
+    blocks, every edge stored on its transcript's shard, theta/denom
+    sharded over tp — identical results, tp-fold lower T-axis memory).
     """
-    if shard_by == "transcript":
-        order = np.argsort(problem.edge_tid, kind="stable")
-        problem = SolverProblem(
-            n_transcripts=problem.n_transcripts,
-            edge_cid=problem.edge_cid[order],
-            edge_tid=problem.edge_tid[order],
-            edge_mult=problem.edge_mult[order],
-            eumaps=problem.eumaps, reads=problem.reads, denom=problem.denom)
-    elif shard_by != "edges":
-        raise ValueError(f"unknown shard_by {shard_by!r}")
     tp = mesh.shape["tp"]
     dp = mesh.shape["dp"]
-    E = len(problem.edge_cid)
-    Ep = -(-E // tp) * tp
     S = reads_per_sample.shape[0]
     Sp = -(-S // dp) * dp
-
-    def pad_e(a, fill=0):
-        out = np.full(Ep, fill, dtype=a.dtype)
-        out[:E] = a
-        return out
+    ntid = problem.n_transcripts
+    C = len(problem.eumaps)
 
     def pad_s(rows, ncol):
         out = np.zeros((Sp, ncol), dtype=dtype)
@@ -132,26 +131,87 @@ def shard_problem(problem: SolverProblem, reads_per_sample: np.ndarray,
 
     reads = pad_s(reads_per_sample, reads_per_sample.shape[1])
     if eumaps_per_sample is None:
-        eumaps_per_sample = np.broadcast_to(problem.eumaps,
-                                            (S, len(problem.eumaps)))
+        eumaps_per_sample = np.broadcast_to(problem.eumaps, (S, C))
     if denom_per_sample is None:
-        denom_per_sample = np.broadcast_to(problem.denom,
-                                           (S, problem.n_transcripts))
-    eumaps = pad_s(eumaps_per_sample, len(problem.eumaps))
-    denom = pad_s(denom_per_sample, problem.n_transcripts)
+        denom_per_sample = np.broadcast_to(problem.denom, (S, ntid))
+    eumaps = pad_s(eumaps_per_sample, C)
+
+    # read-attribution warm start (solver.solve's default init): every
+    # segment's reads granted fully to each member transcript — halves
+    # the cycle count vs all-ones
+    num0 = np.zeros((S, ntid), dtype=np.float64)
+    seg_r = np.asarray(reads_per_sample, dtype=np.float64)
+    for s in range(S):
+        np.add.at(num0[s], problem.edge_tid,
+                  problem.edge_mult * seg_r[s][problem.edge_cid])
+    th0 = num0 / np.where(denom_per_sample > 0, denom_per_sample, 1.0)
+    th0 = np.where(denom_per_sample > 0, th0, 0.0)
 
     e_sh = NamedSharding(mesh, P("tp"))
     r_sh = NamedSharding(mesh, P("dp", None))
+
+    if shard_by == "edges":
+        E = len(problem.edge_cid)
+        Ep = -(-E // tp) * tp
+
+        def pad_e(a, fill=0):
+            out = np.full(Ep, fill, dtype=a.dtype)
+            out[:E] = a
+            return out
+
+        return ShardedProblem(
+            n_transcripts=ntid, n_segments=C,
+            edge_cid=jax.device_put(pad_e(problem.edge_cid), e_sh),
+            edge_tid=jax.device_put(pad_e(problem.edge_tid), e_sh),
+            edge_mult=jax.device_put(pad_e(problem.edge_mult.astype(dtype)),
+                                     e_sh),
+            eumaps=jax.device_put(eumaps, r_sh),
+            reads=jax.device_put(reads, r_sh),
+            denom=jax.device_put(pad_s(denom_per_sample, ntid), r_sh),
+            mesh=mesh, layout="edges",
+            theta0=jax.device_put(pad_s(th0, ntid), r_sh))
+    if shard_by != "transcript":
+        raise ValueError(f"unknown shard_by {shard_by!r}")
+
+    # transcript layout: block j owns tids [j*blk, (j+1)*blk); its edges
+    # live only on shard j, padded per shard to the max shard size
+    blk = -(-ntid // tp)
+    Tp = blk * tp
+    shard_of = problem.edge_tid // blk
+    order = np.argsort(shard_of, kind="stable")
+    e_cid = problem.edge_cid[order]
+    e_tid = problem.edge_tid[order]
+    e_mult = problem.edge_mult[order]
+    sh_sorted = shard_of[order]
+    cnt = np.bincount(sh_sorted, minlength=tp)
+    Emax = max(int(cnt.max()), 1)
+    cid_p = np.zeros(tp * Emax, dtype=e_cid.dtype)
+    tid_p = np.zeros(tp * Emax, dtype=e_tid.dtype)  # block-LOCAL ids
+    mult_p = np.zeros(tp * Emax, dtype=dtype)
+    off = np.concatenate([[0], np.cumsum(cnt)])
+    for j in range(tp):
+        sl = slice(off[j], off[j + 1])
+        n = off[j + 1] - off[j]
+        cid_p[j * Emax:j * Emax + n] = e_cid[sl]
+        tid_p[j * Emax:j * Emax + n] = e_tid[sl] - j * blk
+        mult_p[j * Emax:j * Emax + n] = e_mult[sl]
+
+    def pad_t(rows):
+        out = np.zeros((Sp, Tp), dtype=dtype)
+        out[:S, :ntid] = rows
+        return out
+
+    t_sh = NamedSharding(mesh, P("dp", "tp"))
     return ShardedProblem(
-        n_transcripts=problem.n_transcripts,
-        n_segments=len(problem.eumaps),
-        edge_cid=jax.device_put(pad_e(problem.edge_cid), e_sh),
-        edge_tid=jax.device_put(pad_e(problem.edge_tid), e_sh),
-        edge_mult=jax.device_put(pad_e(problem.edge_mult.astype(dtype)), e_sh),
+        n_transcripts=ntid, n_segments=C,
+        edge_cid=jax.device_put(cid_p, e_sh),
+        edge_tid=jax.device_put(tid_p, e_sh),
+        edge_mult=jax.device_put(mult_p, e_sh),
         eumaps=jax.device_put(eumaps, r_sh),
         reads=jax.device_put(reads, r_sh),
-        denom=jax.device_put(denom, r_sh),
-        mesh=mesh)
+        denom=jax.device_put(pad_t(denom_per_sample), t_sh),
+        mesh=mesh, layout="transcript", t_padded=Tp,
+        theta0=jax.device_put(pad_t(th0), t_sh))
 
 
 def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
@@ -224,6 +284,65 @@ def _em_block_local(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_denom,
     return theta, s_new, ll_of(s_new), gain_of
 
 
+def _em_block_local_t(edge_cid, edge_tid_loc, edge_mult, eumaps, reads,
+                      inv_denom, theta, blk, n_segments, block_iters):
+    """Transcript-sharded EM block: theta/denom are [S_local, blk] per tp
+    shard and every edge lives on its transcript's shard, so only the
+    segment intensities cross shards (one psum per EM step); the
+    transcript-sum needs no collective at all."""
+
+    def intensities(th):
+        part = jax.vmap(lambda v: jax.ops.segment_sum(
+            v, edge_cid, num_segments=n_segments))(
+                edge_mult[None, :] * th[:, edge_tid_loc])
+        return jax.lax.psum(part, "tp")  # [S, C] replicated within tp
+
+    def em_iter(th):
+        s = intensities(th)
+        ratio = jnp.where(s > 0, reads / jnp.where(s > 0, s, 1.0), 0.0)
+        num = jax.vmap(lambda v: jax.ops.segment_sum(
+            v, edge_tid_loc, num_segments=blk))(
+                edge_mult[None, :] * ratio[:, edge_cid])
+        return th * num * inv_denom
+
+    def ll_of(s):
+        lam = eumaps * s
+        safe = jnp.where(lam > 0, lam, 1.0)
+        return jnp.sum(jnp.where(lam > 0, reads * jnp.log(safe) - lam,
+                                 jnp.where(reads > 0, -1e30, 0.0)), axis=1)
+
+    def gain_of(s_old, s_new):
+        both = (s_old > 0) & (s_new > 0)
+        safe_old = jnp.where(both, s_old, 1.0)
+        ratio = jnp.log1p(jnp.where(both, (s_new - s_old) / safe_old, 0.0))
+        died = (s_old > 0) & (s_new <= 0) & (reads > 0)
+        born = (s_old <= 0) & (s_new > 0) & (reads > 0)
+        term = jnp.where(both, reads * ratio,
+                         jnp.where(died, -1e30,
+                                   jnp.where(born, 1e30, 0.0)))
+        return jnp.sum(term - eumaps * (s_new - s_old), axis=1)
+
+    def squarem_cycle(th):
+        t1 = em_iter(th)
+        t2 = em_iter(t1)
+        r = t1 - th
+        v = t2 - t1 - r
+        # steplength norms span the sharded T axis -> psum over tp
+        rn = jnp.sqrt(jax.lax.psum(jnp.sum(r * r, axis=1), "tp"))[:, None]
+        vn = jnp.sqrt(jax.lax.psum(jnp.sum(v * v, axis=1), "tp"))[:, None]
+        alpha = jnp.where(vn > 0, -rn / jnp.where(vn > 0, vn, 1.0), -1.0)
+        alpha = jnp.minimum(alpha, -1.0)
+        extrap = th - 2.0 * alpha * r + (alpha * alpha) * v
+        cand = em_iter(jnp.where(extrap > 0, extrap, t2))
+        better = (gain_of(intensities(t2), intensities(cand)) >= 0)[:, None]
+        return jnp.where(better, cand, t2)
+
+    theta = jax.lax.fori_loop(0, block_iters,
+                              lambda _, th: squarem_cycle(th), theta)
+    s_new = intensities(theta)
+    return theta, s_new, ll_of(s_new), gain_of
+
+
 def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
                   max_blocks: int = 4096, block_iters: int = 32
                   ) -> Tuple[np.ndarray, float, int]:
@@ -232,23 +351,32 @@ def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
     Returns (theta [S, T], logL, n_blocks).
     """
     mesh = sp.mesh
-    S = sp.reads.shape[0]
     dtype = sp.reads.dtype
-    theta0 = jnp.where(sp.denom > 0, jnp.asarray(1.0, dtype), 0.0)
-    theta0 = jax.device_put(theta0, NamedSharding(mesh, P("dp", None)))
+    transcript = sp.layout == "transcript"
+    t_spec = P("dp", "tp") if transcript else P("dp", None)
+    if sp.theta0 is not None:
+        theta0 = sp.theta0.astype(dtype)
+    else:
+        theta0 = jnp.where(sp.denom > 0, jnp.asarray(1.0, dtype), 0.0)
+    theta0 = jax.device_put(theta0, NamedSharding(mesh, t_spec))
     inv_denom = jnp.where(sp.denom > 0, 1.0 / jnp.where(sp.denom > 0,
                                                         sp.denom, 1.0), 0.0)
 
     n_t, n_s = sp.n_transcripts, sp.n_segments
+    blk = sp.t_padded // mesh.shape["tp"] if transcript else 0
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("tp"), P("tp"), P("tp"), P("dp", None), P("dp", None),
-                  P("dp", None), P("dp", None)),
-        out_specs=(P("dp", None), P(), P()),
+                  t_spec, t_spec),
+        out_specs=(t_spec, P(), P()),
         check_vma=False)
     def run(edge_cid, edge_tid, edge_mult, eumaps, reads, inv_den, th0):
         def step(th):
+            if transcript:
+                return _em_block_local_t(edge_cid, edge_tid, edge_mult,
+                                         eumaps, reads, inv_den, th, blk,
+                                         n_s, block_iters)
             return _em_block_local(edge_cid, edge_tid, edge_mult, eumaps,
                                    reads, inv_den, th, n_t, n_s, block_iters)
 
@@ -271,4 +399,5 @@ def solve_sharded(sp: ShardedProblem, epsilon: float = 1e-6,
 
     theta, ll, it = jax.jit(run)(sp.edge_cid, sp.edge_tid, sp.edge_mult,
                                  sp.eumaps, sp.reads, inv_denom, theta0)
-    return np.asarray(theta), float(np.asarray(ll)[0]), int(np.asarray(it)[0])
+    theta = np.asarray(theta)[:, :n_t]
+    return theta, float(np.asarray(ll)[0]), int(np.asarray(it)[0])

@@ -44,6 +44,33 @@ def test_sharded_solver_matches_single(tmp_path):
             np.testing.assert_allclose(theta[s], fpkm, rtol=1e-8, atol=1e-8)
 
 
+def test_transcript_sharded_matches_single():
+    """shard_by='transcript': theta/denom shard over tp ([S, Tp/tp] per
+    device) and results match the single-device solver exactly."""
+    problem, rc = _toy_problem(seed=3)
+    fpkm, ll, _ = solve(problem, epsilon=1e-12)
+
+    for dp in (1, 2):
+        mesh = make_mesh(8, dp=dp)
+        tp = 8 // dp
+        reads = np.repeat(problem.reads[None, :].astype(np.float64), dp,
+                          axis=0)
+        sp = shard_problem(problem, reads, mesh, dtype=np.float64,
+                           shard_by="transcript")
+        assert sp.layout == "transcript"
+        # per-device theta/denom memory actually shards tp-fold
+        Tp = sp.t_padded
+        assert Tp % tp == 0 and Tp >= problem.n_transcripts
+        shard_shapes = {s.data.shape for s in sp.denom.addressable_shards}
+        assert shard_shapes == {(reads.shape[0] // dp
+                                 if dp > 1 else reads.shape[0], Tp // tp)}
+        theta, ll_s, _ = solve_sharded(sp, epsilon=1e-12)
+        assert theta.shape[1] == problem.n_transcripts
+        for s in range(reads.shape[0]):
+            np.testing.assert_allclose(theta[s], fpkm, rtol=1e-8, atol=1e-8)
+        assert abs(ll_s - ll * dp) <= 1e-6 * abs(ll) * dp
+
+
 def test_multisample_sharded_independent():
     """Different samples on the dp axis are solved independently: each
     reaches the same optimum as its own single-device solve (coordinates
