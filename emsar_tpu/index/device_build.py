@@ -394,14 +394,20 @@ def _rank_bucket(R, spos_glob, rank_glob, p16, prefix, b, rank_off,
 def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
     """Write ``arrays`` (already compacted to the front, ``count`` real rows,
     each of static length >= cap-block) into ``bufs`` at offset ``n`` via
-    dynamic_update_slice of a fixed-size block."""
+    dynamic_update_slice of a fixed-size block.
+
+    The overflow flag marks *actual* data loss only: the block truncating
+    real rows (count > blocksize) or the write start clamping back over
+    earlier rows (n > cap - blocksize).  Maintenance cadences guarantee
+    n <= cap - blocksize before every launch, so a false trigger would
+    abort builds that lost nothing."""
     outs = []
     nc = jnp.clip(n, 0, None)
     for a, b in zip(arrays, bufs):
         outs.append(jax.lax.dynamic_update_slice(b, a, (nc,)))
     newn = n + jnp.minimum(count, a.shape[0])
     flags = flags.at[flag_bit].max(
-        jnp.where((count > a.shape[0]) | (newn > cap - a.shape[0]),
+        jnp.where((count > a.shape[0]) | (nc > cap - a.shape[0]),
                   jnp.int32(1), jnp.int32(0)))
     return outs, newn, flags
 
@@ -805,7 +811,7 @@ def _caps(ncand_hint: int, ntid: int, nfl: int) -> Dict[str, int]:
     n = max(int(ncand_hint), 1)
     return dict(
         TABCAP=min(_next_pow2(n + 1024), 3 << 24),
-        MEMCAP=min(_next_pow2(2 * n + 64), 1 << 20),
+        MEMCAP=min(_next_pow2(2 * n + 64), 1 << 22),
         CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 24),
         UCAP=min(_next_pow2(n + 64), 1 << 21),
     )
@@ -1113,12 +1119,13 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     U = min(1 << 22, E, caps["TABCAP"] // 4)
-    C2 = min(1 << 17, E, caps["MEMCAP"] // 4)
+    C2 = min(1 << 19, E, caps["MEMCAP"] // 8)
     # sync cadence: keep the dispatch pipeline deep, but the record table
     # must absorb `maintain_every` worst-case appends past its fold
     # trigger and the member buffer the same past its drain threshold
+    # (MEMCAP/2 + maintain_every*C2 <= MEMCAP - C2)
     maintain_every = max(1, min(caps["TABCAP"] // (4 * U),
-                                (caps["MEMCAP"] // 2) // C2 - 1))
+                                caps["MEMCAP"] // (2 * C2) - 1))
     with phase("PE dev: expansion", cfg.verbose):
         d0 = fl_min - rl
         import time as _time
@@ -1252,7 +1259,10 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
                 f"prefix bucket of {maxb} windows exceeds the sort budget "
                 f"even at {kbits // 2}-base prefixes")
         U = min(Bcap, caps["TABCAP"] // 4)
-        C2 = min(1 << 19, Bcap, caps["MEMCAP"] // 4)
+        # one launch may extract up to a whole bucket's members; _maintain
+        # drains past MEMCAP/2 after every launch, so MEMCAP/2 headroom is
+        # always available
+        C2 = min(Bcap, caps["MEMCAP"] // 2)
         with phase(f"SE dev: l{l} {B} buckets (cap {Bcap})", cfg.verbose):
             for b in range(B):
                 if counts[b] == 0:
