@@ -444,16 +444,18 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     rec = (start & validrow & (cntr > 1) & (cntr < max_repeat) & single_d)
     sgu = (chunk_base + i).astype(jnp.uint32)
 
-    # compact records (one per multi run) first; signature hash lanes are
-    # then summed at record scale (cumsum endpoints), not element scale
-    recinv = jnp.where(rec, jnp.uint32(0), jnp.uint32(1))
-    ro = jax.lax.sort((recinv, sgu, d_ind.astype(jnp.uint32)), num_keys=1,
-                      is_stable=False)
+    # compact records (one per multi run) to the front of a [Ue] buffer via
+    # cumsum + scatter (an order-preserving stable partition; a full-width
+    # lax.sort here cost as much as the main candidate sort); signature
+    # hash lanes are then summed at record scale (cumsum endpoints), not
+    # element scale
     rec_cnt = jnp.sum(rec, dtype=jnp.int32)
     Ue = min(U, E)
     rec_valid = jnp.arange(Ue, dtype=jnp.int32) < rec_cnt
-    rsg = ro[1][:Ue]
-    rfl = ro[2][:Ue]
+    rdst = jnp.where(rec, jnp.cumsum(rec.astype(jnp.int32)) - 1, Ue)
+    rsg = jnp.zeros(Ue, jnp.uint32).at[rdst].set(sgu, mode="drop")
+    rfl = jnp.zeros(Ue, jnp.uint32).at[rdst].set(d_ind.astype(jnp.uint32),
+                                                 mode="drop")
     rec_idx = jnp.clip(rsg.astype(jnp.int32) - chunk_base, 0, E - 1)
     rend = end[rec_idx]
     l1, l2, l3 = _sig_lanes(tid)
@@ -503,12 +505,13 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         ].set(True, mode="drop")
         win = wflag[jnp.clip(my_start, 0, E)] & validrow
         sg_run = chunk_base + my_start
-        wininv = jnp.where(win, jnp.uint32(0), jnp.uint32(1))
-        mo = jax.lax.sort((wininv, sg_run, tid), num_keys=1, is_stable=False)
         mem_cnt = jnp.sum(win, dtype=jnp.int32)
         C2e = min(C2, E)
+        mdst = jnp.where(win, jnp.cumsum(win.astype(jnp.int32)) - 1, C2e)
+        msg = jnp.zeros(C2e, jnp.int32).at[mdst].set(sg_run, mode="drop")
+        mtid = jnp.zeros(C2e, tid.dtype).at[mdst].set(tid, mode="drop")
         mems, mem_n2, flags2 = _append_block(
-            [mo[1][:C2e], mo[2][:C2e], jnp.full(C2e, ck, jnp.int32)],
+            [msg, mtid.astype(jnp.int32), jnp.full(C2e, ck, jnp.int32)],
             [mem_sg, mem_tid, mem_chunk], mem_n, mem_cnt,
             mem_sg.shape[0], flags, 1)
         return mems[0], mems[1], mems[2], mem_n2, flags2
@@ -586,9 +589,11 @@ def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
     rkey = jnp.where(cvalid, rw, KEY_PAD).reshape(-1)
     E = MV * nfl
     idx = jnp.arange(E, dtype=jnp.int32)
-    tid = jnp.broadcast_to(tidm[:, None], (MV, nfl)).reshape(-1)
-    sck, srk, sidx, stid = jax.lax.sort((ckey, rkey, idx, tid), num_keys=2,
-                                        is_stable=False)
+    # tid rides as a post-sort gather (sidx//nfl -> mate1 row), not a
+    # fourth sort operand: every operand multiplies the bitonic passes
+    sck, srk, sidx = jax.lax.sort((ckey, rkey, idx), num_keys=2,
+                                  is_stable=False)
+    stid = tidm[sidx // nfl]
     startf = jnp.concatenate([jnp.ones(1, bool),
                               (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
     validrow = sck != KEY_PAD
