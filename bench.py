@@ -353,6 +353,38 @@ def bench_build(fasta, platform):
     return t_ref, t_ours, identical
 
 
+def bench_build_pe(platform):
+    """PE index build: reference binary vs the device-resident builder.
+
+    Also the per-round smoke test of the PE device path on real hardware
+    (byte-identical output is required, as in tests/test_build_golden.py)."""
+    fasta = os.path.join(CACHE, "benchpe.fa")
+    t0 = time.perf_counter()
+    subprocess.run([REF_BUILD, "-q", "--PE", "-f", str(PE_FMIN), "-F",
+                    str(PE_FMAX), fasta, str(PE_READLEN), CACHE,
+                    "refbuildpe"], check=True, capture_output=True)
+    t_ref = time.perf_counter() - t0
+    log(f"reference emsar-build --PE: {t_ref:.2f}s")
+
+    from emsar_tpu.config import BuildConfig, StrandType
+    from emsar_tpu.io.fasta import read_fasta
+    from emsar_tpu.index.build import build_pe_index
+
+    tx = read_fasta(fasta, "E")
+    cfg = BuildConfig(verbose=0, pe=True, min_fraglength=PE_FMIN,
+                      max_fraglength=PE_FMAX)
+    cfg.strand = StrandType.parse("ns", True)
+    t0 = time.perf_counter()
+    idx = build_pe_index(tx, PE_READLEN, cfg)
+    t_ours = time.perf_counter() - t0
+    ours_rsh = os.path.join(CACHE, "ourbuildpe.rsh")
+    idx.write_text(ours_rsh)
+    identical = (open(ours_rsh, "rb").read() ==
+                 open(os.path.join(CACHE, "refbuildpe.rsh"), "rb").read())
+    log(f"ours PE build: {t_ours:.2f}s  byte-identical: {identical}")
+    return t_ref, t_ours, identical
+
+
 def tpm_maxdiff(ref_fpkm, our_fpkm):
     """(transcript-level maxdiff, gene-level maxdiff).
 
@@ -418,6 +450,7 @@ def main():
 
     # index build
     t_ref_build, t_ours_build, identical = bench_build(fasta, platform)
+    t_ref_bpe, t_ours_bpe, identical_pe = bench_build_pe(platform)
 
     speedup = float(np.sqrt(se_speedup * pe_speedup))
     print(json.dumps({
@@ -434,6 +467,9 @@ def main():
             "build_se_ref_s": round(t_ref_build, 2),
             "build_se_ours_s": round(t_ours_build, 2),
             "build_byte_identical": bool(identical),
+            "build_pe_ref_s": round(t_ref_bpe, 2),
+            "build_pe_ours_s": round(t_ours_bpe, 2),
+            "build_pe_byte_identical": bool(identical_pe),
         }}))
 
 
