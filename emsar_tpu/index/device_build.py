@@ -312,6 +312,12 @@ def _rank_kernel(p16, badp, Npad: int, n_fw: int, two_halves: bool,
 # --------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("nbuckets",))
+def _prefix_hist(prefix, nbuckets: int):
+    return jnp.zeros(nbuckets, jnp.int32).at[
+        jnp.minimum(prefix.astype(jnp.int32), nbuckets - 1)].add(1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("slab", "kbits", "n_fw", "two_halves",
                               "borderpos", "seqlength", "readlength", "Lp"))
@@ -683,73 +689,152 @@ def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
                     seqlength, rl, Lp)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("nfl", "max_repeat", "U", "C2", "unstranded",
-                     "seqlength", "readlength", "Lp"),
-    donate_argnums=(0,))
-def _se_launch_part(state, p16, cuml, positions, count, fl_ind, chunk_id,
-                    nfl: int, max_repeat: int, U: int, C2: int,
-                    unstranded: bool, seqlength: int, readlength: int,
-                    Lp: int):
-    """One prefix bucket of window positions (validity enforced upstream
-    by the prefix pass; padding rows carry pos < 0)."""
-    j = jnp.arange(positions.shape[0], dtype=jnp.int32)
-    valid = j < count
-    pos = jnp.where(valid, positions, 0)
-    return _se_core(state, p16, cuml, pos, valid, jnp.int32(0), fl_ind,
-                    chunk_id, nfl, max_repeat, U, C2, unstranded,
-                    seqlength, readlength, Lp)
-
-
 # --------------------------------------------------------------------------
-# prefix partitioning (builds beyond the single-sort limit)
+# hash-partitioned SE pipeline (builds beyond the single-sort limit)
+#
+# Window payloads (3-lane 96-bit canonical-window hash + tid) are computed
+# CONTIGUOUSLY per slab — every sequence access is a dynamic_slice (+flip
+# for the rc strand), never a gather: on this hardware a gather from the
+# HBM-resident [Lp] code table runs ~30x slower than a contiguous slice.
+# The payload is then radix-partitioned once by the hash's top bits
+# (uniform buckets by construction — equal windows share all lanes), and
+# each bucket is one contiguous slice -> one small sort -> accumulate.
 # --------------------------------------------------------------------------
 
 
+def _slab_words(p16, s0, slab: int, rl: int, seqlength: int, Lp: int,
+                unstranded: bool):
+    """Canonical window words for the contiguous positions [s0, s0+slab),
+    built from dynamic slices only (fw ascending, rc via flipped slices)."""
+    W = pack.n_words(rl)
+    fw = [jax.lax.dynamic_slice(p16, (s0 + 16 * w,), (slab,))
+          for w in range(W)]
+    rem = rl - 16 * (W - 1)
+    sh = jnp.uint32(2 * (16 - rem)) if rem < 16 else None
+    if sh is not None:
+        fw[W - 1] = fw[W - 1] >> sh
+    if not unstranded:
+        return fw
+    # rc word w of window i sits at seqlength - i - rl + 16w: descending in
+    # i, so it is the flip of a slice ending at s0's rc position
+    rc = []
+    for w in range(W):
+        start = seqlength - rl + 16 * w - s0 - (slab - 1)
+        rc.append(jnp.flip(
+            jax.lax.dynamic_slice(p16, (start,), (slab,))))
+    if sh is not None:
+        rc[W - 1] = rc[W - 1] >> sh
+    cmp = jnp.zeros(slab, jnp.int8)
+    for w in range(W):
+        c = (fw[w] > rc[w]).astype(jnp.int8) - (fw[w] < rc[w]).astype(jnp.int8)
+        cmp = jnp.where(cmp == 0, c, cmp)
+    return [jnp.where(cmp <= 0, f, r) for f, r in zip(fw, rc)]
+
+
+def _hash3_cols(words):
+    """3 x uint32 multilinear hash lanes of a word-column list (the 96-bit
+    window identity; lanes mirror kernels._hash4 rows 0..2)."""
+    mult = np.asarray(_MULT)
+    out = []
+    for lane in range(3):
+        acc = jnp.zeros(words[0].shape[0], jnp.uint32)
+        for w, col in enumerate(words):
+            acc = acc + col * jnp.uint32(mult[lane, w])
+            acc = acc ^ (acc >> jnp.uint32(16)) * jnp.uint32(0x85EBCA6B)
+        out.append(acc)
+    return out
+
+
 @functools.partial(
-    jax.jit, static_argnames=("slab", "kbits", "unstranded", "borderpos",
-                              "seqlength", "readlength", "Lp"))
-def _se_prefix_slab(p16, badp, start, slab: int, kbits: int,
-                    unstranded: bool, borderpos: int, seqlength: int,
-                    readlength: int, Lp: int):
-    """Prefix bucket (top kbits of the canonical window's first word) for
-    positions [start, start+slab); invalid windows map to bucket 0xFFFF."""
+    jax.jit, static_argnames=("slab", "unstranded", "borderpos",
+                              "seqlength", "readlength", "Lp"),
+    donate_argnums=(0, 1, 2, 3))
+def _se_hash_slab(H1, H2, H3, TD, p16, badp, cuml, s0,
+                  slab: int, unstranded: bool, borderpos: int,
+                  seqlength: int, readlength: int, Lp: int):
+    """Fill payload arrays for positions [s0, s0+slab): 96-bit canonical
+    window hash + transcript id (negative = invalid window)."""
     rl = readlength
-    i = start + jnp.arange(slab, dtype=jnp.int32)
-    posc = jnp.clip(i, 0, Lp - rl - 17)
-    valid = (i <= borderpos - rl) & ((badp[posc + rl] - badp[posc]) == 0)
-    if unstranded:
-        words = _canon_words(p16, posc, rl, seqlength, Lp)
-        w0 = words[:, 0]
-        if pack.n_words(rl) == 1 and rl < 16:
-            w0 = w0 << jnp.uint32(2 * (16 - rl))  # re-align to the top
-    else:
-        w0 = p16[posc]
-        if rl < 16:  # mask bases beyond the window end
-            sh = jnp.uint32(2 * (16 - rl))
-            w0 = (w0 >> sh) << sh
-    pre = (w0 >> jnp.uint32(32 - kbits)).astype(jnp.uint16)
-    return jnp.where(valid, pre, jnp.uint16(0xFFFF))
+    i = s0 + jnp.arange(slab, dtype=jnp.int32)
+    b0 = jax.lax.dynamic_slice(badp, (s0,), (slab,))
+    b1 = jax.lax.dynamic_slice(badp, (s0 + rl,), (slab,))
+    valid = (i <= borderpos - rl) & (b1 - b0 == 0)
+    words = _slab_words(p16, s0, slab, rl, seqlength, Lp, unstranded)
+    h1, h2, h3 = _hash3_cols(words)
+    tid = (jnp.searchsorted(cuml, i, side="right") - 1).astype(jnp.int32)
+    tid = jnp.where(valid, tid, -1)
+    H1 = jax.lax.dynamic_update_slice(H1, h1, (s0,))
+    H2 = jax.lax.dynamic_update_slice(H2, h2, (s0,))
+    H3 = jax.lax.dynamic_update_slice(H3, h3, (s0,))
+    TD = jax.lax.dynamic_update_slice(TD, tid, (s0,))
+    return H1, H2, H3, TD
 
 
-@functools.partial(jax.jit, static_argnames=("nbuckets",))
-def _prefix_hist(prefix, nbuckets: int):
-    return jnp.zeros(nbuckets, jnp.int32).at[
-        jnp.minimum(prefix.astype(jnp.int32), nbuckets - 1)].add(1)
+@functools.partial(jax.jit, static_argnames=("kbits", "nbuckets"))
+def _hash_bucket_hist(H1, TD, kbits: int, nbuckets: int):
+    b = jnp.where(TD >= 0, (H1 >> jnp.uint32(32 - kbits)).astype(jnp.int32),
+                  nbuckets)
+    return jnp.zeros(nbuckets + 1, jnp.int32).at[b].add(1)
 
 
-@functools.partial(jax.jit, static_argnames=("Bcap",))
-def _bucket_compact(prefix, b, Bcap: int):
-    """Positions whose prefix == b, compacted to the front of a [Bcap]
-    buffer; returns (positions, count)."""
-    n = prefix.shape[0]
-    m = prefix == b.astype(jnp.uint16)
-    idx = jnp.cumsum(m.astype(jnp.int32)) - 1
-    buf = jnp.full(Bcap, -1, jnp.int32).at[
-        jnp.where(m, idx, Bcap)].set(jnp.arange(n, dtype=jnp.int32),
-                                     mode="drop")
-    return buf, jnp.sum(m, dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("kbits",), donate_argnums=(0,))
+def _radix_rank_step(RANK, H1, TD, b, kbits: int):
+    """rank-within-bucket for bucket b's rows (one cumsum pass)."""
+    m = (TD >= 0) & ((H1 >> jnp.uint32(32 - kbits)).astype(jnp.int32)
+                     == b.astype(jnp.int32))
+    r = jnp.cumsum(m.astype(jnp.int32)) - 1
+    return jnp.where(m, r, RANK)
+
+
+@functools.partial(jax.jit, static_argnames=("kbits", "out_size"))
+def _radix_scatter(H1, H2, H3, TD, RANK, off, kbits: int, out_size: int):
+    """Scatter payloads into bucket-major order (one pass, 4 scatters).
+
+    ``out_size`` is padded past the last bucket by one bucket capacity so
+    per-bucket dynamic slices never clamp backward into the previous
+    bucket (no donation: the shapes differ)."""
+    b = (H1 >> jnp.uint32(32 - kbits)).astype(jnp.int32)
+    dst = jnp.where(TD >= 0, off[jnp.clip(b, 0, off.shape[0] - 1)] + RANK,
+                    out_size)
+    P1 = jnp.zeros(out_size, jnp.uint32).at[dst].set(H1, mode="drop")
+    P2 = jnp.zeros(out_size, jnp.uint32).at[dst].set(H2, mode="drop")
+    P3 = jnp.zeros(out_size, jnp.uint32).at[dst].set(H3, mode="drop")
+    PT = jnp.zeros(out_size, jnp.int32).at[dst].set(TD, mode="drop")
+    return P1, P2, P3, PT
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Bcap", "nfl", "max_repeat", "U", "C2"),
+    donate_argnums=(0,))
+def _se_hash_bucket_launch(state, P1, P2, P3, PT, off_b, cnt_b, fl_ind,
+                           chunk_id, Bcap: int, nfl: int, max_repeat: int,
+                           U: int, C2: int):
+    """One partitioned bucket: contiguous slice -> 4-operand sort ->
+    run accumulation.  Rows beyond cnt_b get all-ones keys so they sort
+    last (a real window aliasing the all-ones 96-bit hash is ~2^-96)."""
+    j = jnp.arange(Bcap, dtype=jnp.int32)
+    valid = j < cnt_b
+    h1 = jnp.where(valid, jax.lax.dynamic_slice(P1, (off_b,), (Bcap,)),
+                   jnp.uint32(0xFFFFFFFF))
+    h2 = jnp.where(valid, jax.lax.dynamic_slice(P2, (off_b,), (Bcap,)),
+                   jnp.uint32(0xFFFFFFFF))
+    h3 = jnp.where(valid, jax.lax.dynamic_slice(P3, (off_b,), (Bcap,)),
+                   jnp.uint32(0xFFFFFFFF))
+    td = jnp.where(valid, jax.lax.dynamic_slice(PT, (off_b,), (Bcap,)), 0)
+    s1, s2, s3, stid = jax.lax.sort((h1, h2, h3, td), num_keys=3,
+                                    is_stable=False)
+    diff = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
+    startf = jnp.concatenate([jnp.ones(1, bool), diff])
+    validrow = j < cnt_b  # invalid rows sort to the tail
+    d_ind = jnp.full(Bcap, fl_ind, dtype=jnp.int32)
+    return _postsort_accumulate(state, startf, validrow, d_ind, stid,
+                                jnp.int32(0), nfl, max_repeat, U, C2,
+                                chunk_id=chunk_id)
+
+
+# --------------------------------------------------------------------------
+# prefix partitioning (PE rank pass beyond the single-sort limit)
+# --------------------------------------------------------------------------
 
 
 # --------------------------------------------------------------------------
@@ -777,23 +862,33 @@ def _tab_aggregate(tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt):
     return o2[0], o2[1], o2[2], o2[3], o2[4], n_unique
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _tab_fold(state):
+@functools.partial(jax.jit, static_argnames=("K",), donate_argnums=(0,))
+def _tab_fold(state, K: int):
     """In-place aggregation of the record table: frees buffer space so
     arbitrarily many launches fit in a fixed TABCAP (records per unique
-    (signature, fraglen) row collapse to one counted row)."""
+    (signature, fraglen) row collapse to one counted row).
+
+    Only the first ``K`` rows (a pow2 prefix covering the live appends,
+    which are contiguous from 0) are sorted — folding the whole capacity
+    buffer cost a full TABCAP-width sort per fold at human scale."""
+    sl = {f: state[f][:K] for f in ("tab_flag", "tab_h1", "tab_h2",
+                                    "tab_h3fl", "tab_cnt")}
     hv, h1, h2, h3, cnt, n_unique = _tab_aggregate(
-        state["tab_flag"], state["tab_h1"], state["tab_h2"],
-        state["tab_h3fl"], state["tab_cnt"])
-    T = hv.shape[0]
-    i = jnp.arange(T, dtype=jnp.int32)
+        sl["tab_flag"], sl["tab_h1"], sl["tab_h2"],
+        sl["tab_h3fl"], sl["tab_cnt"])
+    i = jnp.arange(K, dtype=jnp.int32)
     live = i < n_unique
     out = dict(state)
-    out["tab_flag"] = jnp.where(live, jnp.uint32(0), jnp.uint32(1))
-    out["tab_h1"] = jnp.where(live, h1, 0)
-    out["tab_h2"] = jnp.where(live, h2, 0)
-    out["tab_h3fl"] = jnp.where(live, h3, 0)
-    out["tab_cnt"] = jnp.where(live, cnt, 0)
+
+    def wr(buf, vals):
+        return jax.lax.dynamic_update_slice(buf, vals, (0,))
+
+    out["tab_flag"] = wr(state["tab_flag"],
+                         jnp.where(live, jnp.uint32(0), jnp.uint32(1)))
+    out["tab_h1"] = wr(state["tab_h1"], jnp.where(live, h1, 0))
+    out["tab_h2"] = wr(state["tab_h2"], jnp.where(live, h2, 0))
+    out["tab_h3fl"] = wr(state["tab_h3fl"], jnp.where(live, h3, 0))
+    out["tab_cnt"] = wr(state["tab_cnt"], jnp.where(live, cnt, 0))
     out["tab_n"] = n_unique
     return out
 
@@ -1225,44 +1320,60 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
     state = _init_state(tx.n_transcripts, nfl, caps)
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
-    # adaptive prefix length: start with the smallest k whose *average*
-    # bucket fits in a quarter of the sort budget, grow k if the observed
-    # max bucket still exceeds it (poly-A-style skew)
-    kbits = 2
-    while (n0 >> kbits) > limit // 4 and kbits < 16:
-        kbits += 2
-    kbits = min(kbits, 2 * min(lmin, 16))
+    # bucket count: uniform by construction (hash top bits), so start at
+    # the smallest B whose average bucket fits the per-bucket target
+    kbits = 1
+    while (n0 >> kbits) > min(limit, 1 << 24) and kbits < 16:
+        kbits += 1
 
     chunk_id = 0
     slab = min(_next_pow2(n0), 1 << 25)
     n0pad = _pad_to(n0, slab)
-    prefix_buf = jnp.zeros(n0pad, jnp.uint16)
     for l in range(lmin, lmax + 1):
         n_l = borderpos - l + 1
         if n_l <= 0:
             continue
-        while True:  # kbits escalation loop
+        H1 = jnp.zeros(n0pad, jnp.uint32)
+        H2 = jnp.zeros(n0pad, jnp.uint32)
+        H3 = jnp.zeros(n0pad, jnp.uint32)
+        TD = jnp.full(n0pad, -1, jnp.int32)
+        with phase(f"SE dev: l{l} hash pass", cfg.verbose):
+            for s0 in range(0, n0pad, slab):
+                H1, H2, H3, TD = _se_hash_slab(
+                    H1, H2, H3, TD, ref.p16, ref.badp, ref.cuml,
+                    jnp.int32(s0), slab=slab, unstranded=unstranded,
+                    borderpos=borderpos, seqlength=seqlength,
+                    readlength=l, Lp=ref.Lp)
+        while True:  # escalation: only giant equal-window runs resist
             B = 1 << kbits
-            with phase(f"SE dev: l{l} prefix pass (k={kbits // 2}b)",
+            with phase(f"SE dev: l{l} histogram ({B} buckets)",
                        cfg.verbose):
-                for s0 in range(0, n0pad, slab):
-                    pre = _se_prefix_slab(
-                        ref.p16, ref.badp, jnp.int32(s0), slab=slab,
-                        kbits=kbits, unstranded=unstranded,
-                        borderpos=borderpos, seqlength=seqlength,
-                        readlength=l, Lp=ref.Lp)
-                    prefix_buf = jax.lax.dynamic_update_slice(
-                        prefix_buf, pre, (s0,))
-                counts = np.asarray(_prefix_hist(prefix_buf, nbuckets=B + 1))
+                counts = np.asarray(_hash_bucket_hist(H1, TD, kbits=kbits,
+                                                      nbuckets=B))
             maxb = int(counts[:B].max()) if B else 0
-            if maxb <= limit or kbits >= min(16, 2 * min(l, 16)):
+            if maxb <= limit or kbits >= 16:
                 break
-            kbits += 2
-        Bcap = _next_pow2(max(maxb, 1024))
-        if Bcap > limit:
+            kbits += 1
+        # quantize the bucket capacity to {2^k, 3*2^(k-1)}: <= 33% pad
+        # waste, and the launch shape stays stable across read lengths
+        p2 = _next_pow2(max(maxb, 1 << 16))
+        Bcap = p2 if maxb > 3 * p2 // 4 else 3 * p2 // 4
+        if maxb > limit:
             raise DeviceBuildUnsupported(
-                f"prefix bucket of {maxb} windows exceeds the sort budget "
-                f"even at {kbits // 2}-base prefixes")
+                f"hash bucket of {maxb} windows exceeds the sort budget "
+                f"(a single window repeated beyond the budget dominates)")
+        out_size = n0pad + Bcap
+        with phase(f"SE dev: l{l} radix partition", cfg.verbose):
+            RANK = jnp.zeros(n0pad, jnp.int32)
+            for b in range(B):
+                RANK = _radix_rank_step(RANK, H1, TD, jnp.int32(b),
+                                        kbits=kbits)
+            off = np.zeros(B, np.int32)
+            np.cumsum(counts[:B - 1], out=off[1:])
+            P1, P2, P3, PT = _radix_scatter(
+                H1, H2, H3, TD, RANK, jnp.asarray(off), kbits=kbits,
+                out_size=out_size)
+            del H1, H2, H3, TD, RANK
         U = min(Bcap, caps["TABCAP"] // 4)
         # one launch may extract up to a whole bucket's members; _maintain
         # drains past MEMCAP/2 after every launch, so MEMCAP/2 headroom is
@@ -1272,16 +1383,14 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
             for b in range(B):
                 if counts[b] == 0:
                     continue
-                posbuf, cnt = _bucket_compact(prefix_buf, jnp.uint32(b),
-                                              Bcap=Bcap)
-                state = _se_launch_part(
-                    state, ref.p16, ref.cuml, posbuf, cnt,
-                    jnp.int32(l - lmin), jnp.int32(chunk_id), nfl=nfl,
-                    max_repeat=int(cfg.max_repeat), U=U, C2=C2,
-                    unstranded=unstranded, seqlength=seqlength,
-                    readlength=l, Lp=ref.Lp)
+                state = _se_hash_bucket_launch(
+                    state, P1, P2, P3, PT, jnp.int32(int(off[b])),
+                    jnp.int32(int(counts[b])), jnp.int32(l - lmin),
+                    jnp.int32(chunk_id), Bcap=Bcap, nfl=nfl,
+                    max_repeat=int(cfg.max_repeat), U=U, C2=C2)
                 chunk_id += 1
                 state, drained = _maintain(state, caps, drained, U, C2)
+        del P1, P2, P3, PT
 
     with phase("SE dev: finalize", cfg.verbose):
         return _finalize_host(tx, state, caps, nfl, -1, lmin, lmax,
@@ -1299,7 +1408,8 @@ def _maintain(state, caps, drained, U, C2):
             f"device buffer overflow (tab={bool(scal[2])}, "
             f"mem={bool(scal[3])})")
     if int(scal[1]) + U > caps["TABCAP"] - U:
-        state = _tab_fold(state)
+        K = min(_next_pow2(max(int(scal[1]), 1024)), caps["TABCAP"])
+        state = _tab_fold(state, K=K)
     mem_n = int(scal[0])
     if mem_n > caps["MEMCAP"] // 2:
         k = min(_next_pow2(max(mem_n, 1)), caps["MEMCAP"])

@@ -37,6 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genes", type=int, default=25000)
     ap.add_argument("--readlength", type=int, default=76)
+    ap.add_argument("--pe", action="store_true",
+                    help="paired-end build (readlength is the mate length)")
+    ap.add_argument("--fmin", type=int, default=290)
+    ap.add_argument("--fmax", type=int, default=300)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-ref", action="store_true",
                     help="skip the reference build/diff (timing only)")
@@ -69,14 +73,19 @@ def main():
         f" M chars ({tx.borderpos / 1e6:.0f} M fw)")
 
     rl = args.readlength
-    ref_rsh = os.path.join(CACHE, f"{tag}.l{rl}.ref.rsh")
+    mode = f"pe.l{rl}.F{args.fmin}-{args.fmax}" if args.pe else f"l{rl}"
+    ref_rsh = os.path.join(CACHE, f"{tag}.{mode}.ref.rsh")
     t_ref = None
     if not args.skip_ref:
         if not os.path.exists(ref_rsh):
-            log(f"reference emsar-build l{rl} (single run, cached)...")
+            log(f"reference emsar-build {mode} (single run, cached)...")
+            refcmd = [REF_BUILD, "-q"]
+            if args.pe:
+                refcmd += ["--PE", "-f", str(args.fmin), "-F",
+                           str(args.fmax)]
+            refcmd += [fasta, str(rl), CACHE, f"{tag}.{mode}.ref"]
             t0 = time.perf_counter()
-            subprocess.run([REF_BUILD, "-q", fasta, str(rl), CACHE,
-                            f"{tag}.l{rl}.ref"], check=True)
+            subprocess.run(refcmd, check=True)
             t_ref = time.perf_counter() - t0
             with open(ref_rsh + ".time", "w") as fh:
                 fh.write(f"{t_ref:.2f}\n")
@@ -87,16 +96,22 @@ def main():
             log(f"reference build (cached): {t_ref:.1f}s")
 
     from emsar_tpu.config import BuildConfig, StrandType
-    from emsar_tpu.index.build import build_se_index
-    cfg = BuildConfig(verbose=2)
-    cfg.strand = StrandType.parse("ns", False)
-    log(f"device build l{rl} starting...")
+    from emsar_tpu.index.build import build_pe_index, build_se_index
+    log(f"device build {mode} starting...")
     t0 = time.perf_counter()
-    idx = build_se_index(tx, rl, rl, cfg)
+    if args.pe:
+        cfg = BuildConfig(verbose=2, pe=True, min_fraglength=args.fmin,
+                          max_fraglength=args.fmax)
+        cfg.strand = StrandType.parse("ns", True)
+        idx = build_pe_index(tx, rl, cfg)
+    else:
+        cfg = BuildConfig(verbose=2)
+        cfg.strand = StrandType.parse("ns", False)
+        idx = build_se_index(tx, rl, rl, cfg)
     t_ours = time.perf_counter() - t0
     log(f"device build: {t_ours:.1f}s")
 
-    ours_rsh = os.path.join(CACHE, f"{tag}.l{rl}.ours.rsh")
+    ours_rsh = os.path.join(CACHE, f"{tag}.{mode}.ours.rsh")
     t0 = time.perf_counter()
     idx.write_text(ours_rsh)
     log(f"write .rsh: {time.perf_counter() - t0:.1f}s")
