@@ -41,6 +41,7 @@ dispatcher in ``build.py`` falls back to the host-orchestrated builder.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -121,6 +122,13 @@ def _sig_lanes(tids):
 
 def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def _psync(*arrays):
+    """Block on device work under EMSAR_DEVBUILD_PROFILE so phase timers
+    attribute async dispatches to the phase that issued them."""
+    if os.environ.get("EMSAR_DEVBUILD_PROFILE"):
+        jax.block_until_ready(arrays)
 
 
 def _pad_to(n: int, q: int) -> int:
@@ -473,13 +481,15 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         lanes_out.append(S[rend] - Sx[rec_idx])
     r1, r2, r3 = lanes_out
     r3 = (r3 & jnp.uint32(0xFFFFFE00)) | rfl
-    tab_arrays = [jnp.where(rec_valid, jnp.uint32(0), jnp.uint32(1)),
-                  r1, r2, r3,
+    # dead rows carry the all-ones identity + cnt 0 (no flag operand)
+    tab_arrays = [jnp.where(rec_valid, r1, CLAIM_EMPTY),
+                  jnp.where(rec_valid, r2, CLAIM_EMPTY),
+                  jnp.where(rec_valid, r3, CLAIM_EMPTY),
                   jnp.where(rec_valid, jnp.uint32(1), jnp.uint32(0))]
-    tab_bufs = [state["tab_flag"], state["tab_h1"], state["tab_h2"],
+    tab_bufs = [state["tab_h1"], state["tab_h2"],
                 state["tab_h3fl"], state["tab_cnt"]]
     tabs, tab_n, flags = _append_block(tab_arrays, tab_bufs, state["tab_n"],
-                                       rec_cnt, state["tab_flag"].shape[0],
+                                       rec_cnt, state["tab_h1"].shape[0],
                                        state["flags"], 0)
 
     # claim tables on the compacted records: the first run (globally, by
@@ -527,8 +537,8 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         (state["mem_sg"], state["mem_tid"], state["mem_chunk"],
          state["mem_n"], flags))
 
-    return dict(dense=dense, tab_flag=tabs[0], tab_h1=tabs[1],
-                tab_h2=tabs[2], tab_h3fl=tabs[3], tab_cnt=tabs[4],
+    return dict(dense=dense, tab_h1=tabs[0], tab_h2=tabs[1],
+                tab_h3fl=tabs[2], tab_cnt=tabs[3],
                 tab_n=tab_n, mem_sg=mem_sg, mem_tid=mem_tid,
                 mem_chunk=mem_chunk, mem_n=mem_n,
                 claim1=claim1, claim2=claim2, claim3=claim3, flags=flags)
@@ -770,20 +780,15 @@ def _se_hash_slab(H1, H2, H3, TD, p16, badp, cuml, s0,
     return H1, H2, H3, TD
 
 
-@functools.partial(jax.jit, static_argnames=("kbits", "nbuckets"))
-def _hash_bucket_hist(H1, TD, kbits: int, nbuckets: int):
-    b = jnp.where(TD >= 0, (H1 >> jnp.uint32(32 - kbits)).astype(jnp.int32),
-                  nbuckets)
-    return jnp.zeros(nbuckets + 1, jnp.int32).at[b].add(1)
-
-
 @functools.partial(jax.jit, static_argnames=("kbits",), donate_argnums=(0,))
 def _radix_rank_step(RANK, H1, TD, b, kbits: int):
-    """rank-within-bucket for bucket b's rows (one cumsum pass)."""
+    """rank-within-bucket + size of bucket b (one cumsum pass; the bucket
+    sizes double as the histogram — a scatter-add histogram serializes on
+    its fully-colliding indices)."""
     m = (TD >= 0) & ((H1 >> jnp.uint32(32 - kbits)).astype(jnp.int32)
                      == b.astype(jnp.int32))
     r = jnp.cumsum(m.astype(jnp.int32)) - 1
-    return jnp.where(m, r, RANK)
+    return jnp.where(m, r, RANK), jnp.sum(m, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("kbits", "out_size"))
@@ -842,24 +847,33 @@ def _se_hash_bucket_launch(state, P1, P2, P3, PT, off_b, cnt_b, fl_ind,
 # --------------------------------------------------------------------------
 
 
-def _tab_aggregate(tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt):
+def _tab_aggregate(tab_h1, tab_h2, tab_h3fl, tab_cnt):
     """Shared core: sort records, sum counts per unique (hash, fraglen)
-    row, compact unique rows to the front.  Returns (flag, h1, h2, h3fl,
-    cnt, n_unique) with rows [0, n_unique) valid."""
-    o = jax.lax.sort((tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt),
-                     num_keys=4, is_stable=False)
-    fl, h1, h2, h3, cnt = o
-    diff = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | \
-        (h3[1:] != h3[:-1]) | (fl[1:] != fl[:-1])
+    row, compact unique rows to the front.  Returns (h1, h2, h3fl, cnt,
+    n_unique) with rows [0, n_unique) valid.
+
+    Dead rows carry the all-ones identity (and cnt 0), so they sort last
+    with no separate flag operand; a real signature aliasing the all-ones
+    87-bit identity is lost w.p. ~2^-87 (within the design's documented
+    multiset-hash risk).  The unique-row compaction is an order-preserving
+    cumsum + scatter, not a second full-width sort."""
+    o = jax.lax.sort((tab_h1, tab_h2, tab_h3fl, tab_cnt), num_keys=3,
+                     is_stable=False)
+    h1, h2, h3, cnt = o
+    diff = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | (h3[1:] != h3[:-1])
     start = jnp.concatenate([jnp.ones(1, bool), diff])
     _, ns = _run_bounds(start)
     csum = _run_sum_at_start(cnt, ns)
-    head = start & (fl == 0)
-    headinv = jnp.where(head, jnp.uint32(0), jnp.uint32(1))
-    o2 = jax.lax.sort((headinv, h1, h2, h3, csum), num_keys=1,
-                      is_stable=False)
+    dead = (h1 == CLAIM_EMPTY) & (h2 == CLAIM_EMPTY) & (h3 == CLAIM_EMPTY)
+    head = start & ~dead
     n_unique = jnp.sum(head, dtype=jnp.int32)
-    return o2[0], o2[1], o2[2], o2[3], o2[4], n_unique
+    K = h1.shape[0]
+    dst = jnp.where(head, jnp.cumsum(head.astype(jnp.int32)) - 1, K)
+    u1 = jnp.full(K, CLAIM_EMPTY, jnp.uint32).at[dst].set(h1, mode="drop")
+    u2 = jnp.full(K, CLAIM_EMPTY, jnp.uint32).at[dst].set(h2, mode="drop")
+    u3 = jnp.full(K, CLAIM_EMPTY, jnp.uint32).at[dst].set(h3, mode="drop")
+    uc = jnp.zeros(K, jnp.uint32).at[dst].set(csum, mode="drop")
+    return u1, u2, u3, uc, n_unique
 
 
 @functools.partial(jax.jit, static_argnames=("K",), donate_argnums=(0,))
@@ -871,35 +885,29 @@ def _tab_fold(state, K: int):
     Only the first ``K`` rows (a pow2 prefix covering the live appends,
     which are contiguous from 0) are sorted — folding the whole capacity
     buffer cost a full TABCAP-width sort per fold at human scale."""
-    sl = {f: state[f][:K] for f in ("tab_flag", "tab_h1", "tab_h2",
-                                    "tab_h3fl", "tab_cnt")}
-    hv, h1, h2, h3, cnt, n_unique = _tab_aggregate(
-        sl["tab_flag"], sl["tab_h1"], sl["tab_h2"],
-        sl["tab_h3fl"], sl["tab_cnt"])
-    i = jnp.arange(K, dtype=jnp.int32)
-    live = i < n_unique
+    h1, h2, h3, cnt, n_unique = _tab_aggregate(
+        state["tab_h1"][:K], state["tab_h2"][:K],
+        state["tab_h3fl"][:K], state["tab_cnt"][:K])
     out = dict(state)
 
     def wr(buf, vals):
         return jax.lax.dynamic_update_slice(buf, vals, (0,))
 
-    out["tab_flag"] = wr(state["tab_flag"],
-                         jnp.where(live, jnp.uint32(0), jnp.uint32(1)))
-    out["tab_h1"] = wr(state["tab_h1"], jnp.where(live, h1, 0))
-    out["tab_h2"] = wr(state["tab_h2"], jnp.where(live, h2, 0))
-    out["tab_h3fl"] = wr(state["tab_h3fl"], jnp.where(live, h3, 0))
-    out["tab_cnt"] = wr(state["tab_cnt"], jnp.where(live, cnt, 0))
+    out["tab_h1"] = wr(state["tab_h1"], h1)
+    out["tab_h2"] = wr(state["tab_h2"], h2)
+    out["tab_h3fl"] = wr(state["tab_h3fl"], h3)
+    out["tab_cnt"] = wr(state["tab_cnt"], cnt)
     out["tab_n"] = n_unique
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("UCAP",),
-                   donate_argnums=(0, 1, 2, 3, 4))
-def _tab_finalize(tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt, UCAP: int):
+                   donate_argnums=(0, 1, 2, 3))
+def _tab_finalize(tab_h1, tab_h2, tab_h3fl, tab_cnt, UCAP: int):
     """Aggregate per-run records into unique (signature-hash, fraglen)
     counts; returns (h1, h2, h3fl, count)[UCAP] + n_unique."""
-    _, h1, h2, h3, cnt, n_unique = _tab_aggregate(
-        tab_flag, tab_h1, tab_h2, tab_h3fl, tab_cnt)
+    h1, h2, h3, cnt, n_unique = _tab_aggregate(
+        tab_h1, tab_h2, tab_h3fl, tab_cnt)
     return (h1[:UCAP], h2[:UCAP], h3[:UCAP], cnt[:UCAP], n_unique)
 
 # --------------------------------------------------------------------------
@@ -933,10 +941,9 @@ def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
 def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
     return dict(
         dense=jnp.zeros(ntid * nfl, jnp.int32),
-        tab_flag=jnp.ones(caps["TABCAP"], jnp.uint32),
-        tab_h1=jnp.zeros(caps["TABCAP"], jnp.uint32),
-        tab_h2=jnp.zeros(caps["TABCAP"], jnp.uint32),
-        tab_h3fl=jnp.zeros(caps["TABCAP"], jnp.uint32),
+        tab_h1=jnp.full(caps["TABCAP"], CLAIM_EMPTY, jnp.uint32),
+        tab_h2=jnp.full(caps["TABCAP"], CLAIM_EMPTY, jnp.uint32),
+        tab_h3fl=jnp.full(caps["TABCAP"], CLAIM_EMPTY, jnp.uint32),
         tab_cnt=jnp.zeros(caps["TABCAP"], jnp.uint32),
         tab_n=jnp.zeros((), jnp.int32),
         mem_sg=jnp.zeros(caps["MEMCAP"], jnp.int32),
@@ -960,9 +967,9 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     # sort only a prefix covering the live rows (appends are contiguous
     # from 0) — sorting the whole capacity buffer wastes 10-30x
     tab_n = int(np.asarray(state["tab_n"]))
-    K = min(_next_pow2(max(tab_n, 1024)), state["tab_flag"].shape[0])
+    K = min(_next_pow2(max(tab_n, 1024)), state["tab_h1"].shape[0])
     uh1, uh2, uh3fl, ucnt, n_unique = _tab_finalize(
-        state["tab_flag"][:K], state["tab_h1"][:K], state["tab_h2"][:K],
+        state["tab_h1"][:K], state["tab_h2"][:K],
         state["tab_h3fl"][:K], state["tab_cnt"][:K],
         UCAP=min(caps["UCAP"], K))
     flags = np.asarray(state["flags"])
@@ -1323,7 +1330,7 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
     # bucket count: uniform by construction (hash top bits), so start at
     # the smallest B whose average bucket fits the per-bucket target
     kbits = 1
-    while (n0 >> kbits) > min(limit, 1 << 24) and kbits < 16:
+    while (n0 >> kbits) > min(limit, 1 << 24) and kbits < 6:
         kbits += 1
 
     chunk_id = 0
@@ -1344,16 +1351,23 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
                     jnp.int32(s0), slab=slab, unstranded=unstranded,
                     borderpos=borderpos, seqlength=seqlength,
                     readlength=l, Lp=ref.Lp)
+            _psync(TD)
         while True:  # escalation: only giant equal-window runs resist
             B = 1 << kbits
-            with phase(f"SE dev: l{l} histogram ({B} buckets)",
+            with phase(f"SE dev: l{l} rank pass ({B} buckets)",
                        cfg.verbose):
-                counts = np.asarray(_hash_bucket_hist(H1, TD, kbits=kbits,
-                                                      nbuckets=B))
-            maxb = int(counts[:B].max()) if B else 0
-            if maxb <= limit or kbits >= 16:
+                RANK = jnp.zeros(n0pad, jnp.int32)
+                cnt_dev = []
+                for b in range(B):
+                    RANK, c = _radix_rank_step(RANK, H1, TD, jnp.int32(b),
+                                               kbits=kbits)
+                    cnt_dev.append(c)
+                counts = np.asarray(jnp.stack(cnt_dev))
+            maxb = int(counts.max()) if B else 0
+            if maxb <= limit or kbits >= 6:
                 break
             kbits += 1
+            del RANK
         # quantize the bucket capacity to {2^k, 3*2^(k-1)}: <= 33% pad
         # waste, and the launch shape stays stable across read lengths
         p2 = _next_pow2(max(maxb, 1 << 16))
@@ -1364,16 +1378,13 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
                 f"(a single window repeated beyond the budget dominates)")
         out_size = n0pad + Bcap
         with phase(f"SE dev: l{l} radix partition", cfg.verbose):
-            RANK = jnp.zeros(n0pad, jnp.int32)
-            for b in range(B):
-                RANK = _radix_rank_step(RANK, H1, TD, jnp.int32(b),
-                                        kbits=kbits)
             off = np.zeros(B, np.int32)
             np.cumsum(counts[:B - 1], out=off[1:])
             P1, P2, P3, PT = _radix_scatter(
                 H1, H2, H3, TD, RANK, jnp.asarray(off), kbits=kbits,
                 out_size=out_size)
             del H1, H2, H3, TD, RANK
+            _psync(PT)
         U = min(Bcap, caps["TABCAP"] // 4)
         # one launch may extract up to a whole bucket's members; _maintain
         # drains past MEMCAP/2 after every launch, so MEMCAP/2 headroom is
