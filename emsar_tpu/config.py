@@ -65,8 +65,9 @@ class BuildConfig:
     # TPU-specific knobs
     chunk_positions: int = 1 << 20  # positions per device sort chunk
     pe_chunk_candidates: int = 1 << 24  # (position, d) candidates per PE chunk
-    device_sort_limit: int = 1 << 26  # windows per device sort; larger
-    # builds are prefix-partitioned (device_build._build_se_partitioned)
+    device_sort_limit: int = 1 << 28  # windows per device sort; larger
+    # builds are hash-partitioned (device_build.build_se_index_device);
+    # the PE rank pass clamps this to 1<<26 (its sort carries 6 operands)
 
 
 @dataclasses.dataclass

@@ -622,81 +622,58 @@ def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
 
 
 # --------------------------------------------------------------------------
-# SE kernel (one read length per launch)
+# SE sorted-stream kernels (hash slabs -> one global sort -> chunked
+# run accumulation).  Reference semantics:
+# initialize_suffixarray_{NS_5,SS_4} + quicksort + construct_rshbucket_2
+# (src/emsar_functions.c:949-1038, 1108-1149, 1758-1819).
 # --------------------------------------------------------------------------
 
 
-def _canon_words(p16, posc, rl: int, seqlength: int, Lp: int):
-    """Packed words of the canonical (lexicographic min of fw/rc) window."""
-    W = pack.n_words(rl)
-    fw_cols, rc_cols = [], []
-    rcpos = jnp.clip(seqlength - posc - rl, 0, Lp - rl - 17)
-    for w in range(W):
-        fw_cols.append(p16[posc + 16 * w])
-        rc_cols.append(p16[rcpos + 16 * w])
-    fw = jnp.stack(fw_cols, axis=1)
-    rc = jnp.stack(rc_cols, axis=1)
-    rem = rl - 16 * (W - 1)
-    if rem < 16:
-        sh = jnp.uint32(2 * (16 - rem))
-        fw = fw.at[:, W - 1].set(fw[:, W - 1] >> sh)
-        rc = rc.at[:, W - 1].set(rc[:, W - 1] >> sh)
-    cmp = jnp.zeros(posc.shape[0], jnp.int8)
-    for w in range(W):
-        c = (fw[:, w] > rc[:, w]).astype(jnp.int8) - \
-            (fw[:, w] < rc[:, w]).astype(jnp.int8)
-        cmp = jnp.where(cmp == 0, c, cmp)
-    return jnp.where((cmp <= 0)[:, None], fw, rc)
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _sort_payload4(H1, H2, H3, TD):
+    """Global 4-operand sort by the 96-bit window identity (invalid rows
+    carry the all-ones identity and sort last)."""
+    return jax.lax.sort((H1, H2, H3, TD), num_keys=3, is_stable=False)
 
 
-def _se_core(state, p16, cuml, pos, valid, chunk_base, fl_ind, chunk_id,
-             nfl: int, max_repeat: int, U: int, C2: int, unstranded: bool,
-             seqlength: int, readlength: int, Lp: int):
-    """Group the given window positions by canonical sequence; accumulate.
-
-    Reference semantics: initialize_suffixarray_{NS_5,SS_4} + sort +
-    construct_rshbucket_2 (src/emsar_functions.c:949-1038, 1758-1819)."""
-    rl = readlength
-    E = pos.shape[0]
-    posc = jnp.clip(pos, 0, Lp - rl - 17)
-    if unstranded:
-        words = _canon_words(p16, posc, rl, seqlength, Lp)
-        h = _hash4(words, jnp.asarray(_MULT))
-    else:
-        h = _window_hash(p16, posc, rl)
-    tid = (jnp.searchsorted(cuml, posc, side="right") - 1).astype(jnp.int32)
-    keyv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
-    out = jax.lax.sort((keyv,) + tuple(h[:, k] for k in range(4)) + (tid,),
-                       num_keys=5, is_stable=False)
-    kv = out[0]
-    keys = jnp.stack(out[1:5], axis=1)
-    stid = out[5]
-    diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
-    startf = jnp.concatenate([jnp.ones(1, bool), diff])
-    validrow = kv == 0
-    d_ind = jnp.full(E, fl_ind, dtype=jnp.int32)
-    return _postsort_accumulate(state, startf, validrow, d_ind, stid,
-                                chunk_base, nfl, max_repeat, U, C2,
-                                chunk_id=chunk_id)
+@functools.partial(jax.jit, static_argnames=("tail",))
+def _pad_sorted(S, fill, tail: int):
+    """[fill] + S + [fill]*tail — the 1-row lookback and lookahead margin
+    the chunked accumulation slices into."""
+    return jnp.concatenate([jnp.full(1, fill, S.dtype), S,
+                            jnp.full(tail, fill, S.dtype)])
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("Npad", "nfl", "max_repeat", "U", "C2", "unstranded",
-                     "borderpos", "seqlength", "readlength", "Lp"),
+    jax.jit, static_argnames=("Q", "V", "nfl", "max_repeat", "U", "C2"),
     donate_argnums=(0,))
-def _se_launch(state, p16, badp, cuml, chunk_base, fl_ind,
-               Npad: int, nfl: int, max_repeat: int, U: int, C2: int,
-               unstranded: bool, borderpos: int, seqlength: int,
-               readlength: int, Lp: int):
-    """All windows of one read length (small builds: one launch)."""
-    rl = readlength
-    i = jnp.arange(Npad, dtype=jnp.int32)
-    posc = jnp.clip(i, 0, Lp - rl - 17)
-    valid = (i <= borderpos - rl) & ((badp[posc + rl] - badp[posc]) == 0)
-    return _se_core(state, p16, cuml, i, valid, chunk_base, fl_ind,
-                    jnp.int32(0), nfl, max_repeat, U, C2, unstranded,
-                    seqlength, rl, Lp)
+def _se_sorted_chunk(state, S1, S2, S3, ST, q0, fl_ind, chunk_id, n_valid,
+                     Q: int, V: int, nfl: int, max_repeat: int,
+                     U: int, C2: int):
+    """Accumulate runs whose start lies in sorted rows [q0, q0+Q).
+
+    The slice carries a 1-row lookback (exact run-start detection at the
+    chunk edge) and a V-row lookahead with V > max_repeat: every run that
+    must be measured exactly (singles, records < max_repeat) is fully
+    contained, and a run censored at the slice end has cntr >= V, which
+    classifies it as >= max_repeat — the same verdict its true size
+    would produce."""
+    Ew = 1 + Q + V
+    j = jnp.arange(Ew, dtype=jnp.int32)
+    s1 = jax.lax.dynamic_slice(S1, (q0,), (Ew,))
+    s2 = jax.lax.dynamic_slice(S2, (q0,), (Ew,))
+    s3 = jax.lax.dynamic_slice(S3, (q0,), (Ew,))
+    st = jax.lax.dynamic_slice(ST, (q0,), (Ew,))
+    diff = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    ownedrun = start & (j >= 1) & (j <= Q)
+    my_start, _ = _run_bounds(start)
+    # padded slice row j = sorted row q0 + j - 1; valid rows sort first
+    valid = (q0 + j) <= n_valid
+    rv = ownedrun[jnp.clip(my_start, 0, Ew - 1)] & valid
+    d_ind = jnp.full(Ew, fl_ind, dtype=jnp.int32)
+    return _postsort_accumulate(state, start, rv, d_ind, st, jnp.int32(0),
+                                nfl, max_repeat, U, C2, chunk_id=chunk_id)
 
 
 # --------------------------------------------------------------------------
@@ -773,11 +750,14 @@ def _se_hash_slab(H1, H2, H3, TD, p16, badp, cuml, s0,
     h1, h2, h3 = _hash3_cols(words)
     tid = (jnp.searchsorted(cuml, i, side="right") - 1).astype(jnp.int32)
     tid = jnp.where(valid, tid, -1)
+    h1 = jnp.where(valid, h1, CLAIM_EMPTY)
+    h2 = jnp.where(valid, h2, CLAIM_EMPTY)
+    h3 = jnp.where(valid, h3, CLAIM_EMPTY)
     H1 = jax.lax.dynamic_update_slice(H1, h1, (s0,))
     H2 = jax.lax.dynamic_update_slice(H2, h2, (s0,))
     H3 = jax.lax.dynamic_update_slice(H3, h3, (s0,))
     TD = jax.lax.dynamic_update_slice(TD, tid, (s0,))
-    return H1, H2, H3, TD
+    return H1, H2, H3, TD, jnp.sum(valid, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("kbits",), donate_argnums=(0,))
@@ -966,12 +946,20 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     off the device mid-build by partitioned builds."""
     # sort only a prefix covering the live rows (appends are contiguous
     # from 0) — sorting the whole capacity buffer wastes 10-30x
+    profile = bool(os.environ.get("EMSAR_DEVBUILD_PROFILE"))
+    import time as _time
+    t0 = _time.perf_counter()
     tab_n = int(np.asarray(state["tab_n"]))
     K = min(_next_pow2(max(tab_n, 1024)), state["tab_h1"].shape[0])
     uh1, uh2, uh3fl, ucnt, n_unique = _tab_finalize(
         state["tab_h1"][:K], state["tab_h2"][:K],
         state["tab_h3fl"][:K], state["tab_cnt"][:K],
         UCAP=min(caps["UCAP"], K))
+    if profile:
+        jax.block_until_ready(ucnt)
+        print(f"[profile] finalize: tab_n={tab_n} K={K} "
+              f"aggregate {_time.perf_counter() - t0:.2f}s", flush=True)
+        t0 = _time.perf_counter()
     flags = np.asarray(state["flags"])
     if flags.any():
         raise DeviceBuildOverflow(f"device buffer overflow (flags={flags})")
@@ -999,6 +987,10 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
         mem_chunk = np.concatenate([c[2] for c in drained] + [mem_chunk])
         mem_n = len(mem_sg)
     dense = np.asarray(state["dense"]).reshape(tx.n_transcripts, nfl)
+    if profile:
+        print(f"[profile] finalize: rows={rows} mem_n={mem_n} "
+              f"fetch {_time.perf_counter() - t0:.2f}s", flush=True)
+        t0 = _time.perf_counter()
 
     # resolve exemplar multisets (vectorized: member rows grouped by their
     # claiming run id, per-group multiset-hash recomputed on host).  A
@@ -1037,19 +1029,28 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     group_of_uid[ex_uid] = np.arange(G)
     # exemplar hash collision check: two groups sharing a key must have
     # identical content (otherwise a ~2^-44 multiset-hash alias — abort to
-    # the fallback backend rather than merging EUMA rows silently)
-    cnt_per_uid = np.bincount(ex_uid, minlength=len(uniq))
-    if (cnt_per_uid > 1).any():
-        dup_uids = np.flatnonzero(cnt_per_uid > 1)
-        for u in dup_uids:
-            gs = np.flatnonzero(ex_uid == u)
-            first = gs[0]
-            a = tid_s[starts[first]:starts[first] + g_sizes[first]]
-            for g in gs[1:]:
-                b = tid_s[starts[g]:starts[g] + g_sizes[g]]
-                if len(a) != len(b) or (a != b).any():
-                    raise DeviceBuildOverflow(
-                        "multiset hash collision between exemplars")
+    # the fallback backend rather than merging EUMA rows silently).
+    # Claim-table steals across launches make same-signature duplicate
+    # groups COMMON at scale (G can be several times n_sig), so the check
+    # compares adjacent same-key groups fully vectorized (equality is
+    # transitive along the sorted order).
+    order2 = np.argsort(ex_uid, kind="stable")
+    u_srt = ex_uid[order2]
+    adj = u_srt[1:] == u_srt[:-1]
+    pa = order2[:-1][adj]
+    pb = order2[1:][adj]
+    if len(pa):
+        if (g_sizes[pa] != g_sizes[pb]).any():
+            raise DeviceBuildOverflow(
+                "multiset hash collision between exemplars")
+        sz = g_sizes[pa]
+        tot = int(sz.sum())
+        k = np.arange(tot) - np.repeat(np.cumsum(sz) - sz, sz)
+        ta = tid_s[np.repeat(starts[pa], sz) + k]
+        tb = tid_s[np.repeat(starts[pb], sz) + k]
+        if (ta != tb).any():
+            raise DeviceBuildOverflow(
+                "multiset hash collision between exemplars")
 
     row_grp = group_of_uid[row_uid]
     if (row_grp < 0).any():
@@ -1088,6 +1089,9 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
         sig_offsets = np.zeros(1, dtype=np.int64)
         sig_tids = np.empty(0, dtype=np.int32)
 
+    if profile:
+        print(f"[profile] finalize: G={G} n_sig={n_sig} "
+              f"resolve {_time.perf_counter() - t0:.2f}s", flush=True)
     return RshIndex(names=list(tx.names), readlength=readlength_hdr,
                     min_fraglength=fl_min, max_fraglength=fl_max,
                     single_euma=dense.astype(np.int64),
@@ -1174,7 +1178,8 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     two = not stranded
     Npos = n_fw * (2 if two else 1)
     Npad = _next_pow2(Npos)
-    limit = getattr(cfg, "device_sort_limit", 1 << 26)
+    # the rank-pass sort carries 6 operands; clamp its budget
+    limit = min(getattr(cfg, "device_sort_limit", 1 << 26), 1 << 26)
 
     with phase("PE dev: reference upload", cfg.verbose):
         ref = DeviceRef(tx)
@@ -1262,14 +1267,15 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                           readlength_max: int, cfg: BuildConfig) -> RshIndex:
     """SE rsh index over a read-length range, fully device-resident.
 
-    Builds whose window count exceeds one sort's budget are partitioned by
-    canonical-sequence prefix: equal windows share a prefix, so runs never
-    cross buckets and per-bucket accumulation composes exactly.  This is
-    the reference's generate_seqtag idea
-    (src/emsar_functions.c:1233-1264) generalized: buckets come from the
-    2-bit packed words already on device, the bucket count adapts to the
-    observed histogram, and the record table folds in place so memory
-    stays bounded at any transcriptome size."""
+    Per read length: a contiguous hash pass (dynamic slices only — no
+    gathers from the HBM-resident code table), then either ONE global
+    4-operand sort of the (96-bit identity, tid) payload (builds within
+    the sort budget) or a radix partition by hash top bits followed by
+    per-bucket sorts (equal windows share all hash lanes, so runs never
+    cross buckets and per-bucket accumulation composes exactly — the
+    reference's generate_seqtag idea, src/emsar_functions.c:1233-1264,
+    with adaptive hash buckets).  Run accumulation streams over the
+    sorted rows in overlapping chunks."""
     lmin, lmax = int(readlength_min), int(readlength_max)
     nfl = lmax - lmin + 1
     if nfl >= MAX_NFL_PACKED:
@@ -1279,45 +1285,8 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
     n0 = int(tx.borderpos) - lmin + 1
     if n0 <= 0:
         raise DeviceBuildUnsupported("read length exceeds transcriptome")
-    Npad = _next_pow2(n0)
     limit = getattr(cfg, "device_sort_limit", 1 << 26)
-    if Npad <= limit:
-        return _build_se_single(tx, lmin, lmax, nfl, Npad, cfg)
-    return _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg)
 
-
-def _build_se_single(tx, lmin, lmax, nfl, Npad, cfg) -> RshIndex:
-    if (nfl + 1) * Npad >= 2**31 - 1:
-        raise DeviceBuildUnsupported("window ids exceed int32")
-    with phase("SE dev: reference upload", cfg.verbose):
-        ref = DeviceRef(tx)
-    caps = _caps(sum(int(tx.borderpos) - l + 1
-                     for l in range(lmin, lmax + 1)),
-                 tx.n_transcripts, nfl)
-    state = _init_state(tx.n_transcripts, nfl, caps)
-    unstranded = not cfg.strand.stranded
-
-    base = 0
-    for l in range(lmin, lmax + 1):
-        if int(tx.borderpos) - l + 1 <= 0:
-            continue
-        with phase(f"SE dev: l{l}", cfg.verbose):
-            state = _se_launch(
-                state, ref.p16, ref.badp, ref.cuml, jnp.int32(base),
-                jnp.int32(l - lmin), Npad=Npad, nfl=nfl,
-                max_repeat=int(cfg.max_repeat),
-                U=min(1 << 22, Npad, caps["TABCAP"] // 2),
-                C2=min(1 << 17, Npad, caps["MEMCAP"] // 2),
-                unstranded=unstranded,
-                borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
-                readlength=l, Lp=ref.Lp)
-        base += Npad
-
-    with phase("SE dev: finalize", cfg.verbose):
-        return _finalize_host(tx, state, caps, nfl, -1, lmin, lmax)
-
-
-def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
     unstranded = not cfg.strand.stranded
     borderpos, seqlength = int(tx.borderpos), int(tx.seqlength)
     with phase("SE dev: reference upload", cfg.verbose):
@@ -1327,15 +1296,16 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
     state = _init_state(tx.n_transcripts, nfl, caps)
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
 
-    # bucket count: uniform by construction (hash top bits), so start at
-    # the smallest B whose average bucket fits the per-bucket target
+    chunk_id = 0
+    slab = min(_next_pow2(n0), 1 << 25)
+    n0pad = _pad_to(n0, slab)
+    single_sort = n0pad <= max(limit, 1 << 20)
+    V = _next_pow2(max(int(cfg.max_repeat) + 2, 64))
+    Q = min(_next_pow2(n0pad), 1 << 24)
     kbits = 1
     while (n0 >> kbits) > min(limit, 1 << 24) and kbits < 6:
         kbits += 1
 
-    chunk_id = 0
-    slab = min(_next_pow2(n0), 1 << 25)
-    n0pad = _pad_to(n0, slab)
     for l in range(lmin, lmax + 1):
         n_l = borderpos - l + 1
         if n_l <= 0:
@@ -1344,14 +1314,41 @@ def _build_se_partitioned(tx, lmin, lmax, nfl, n0, limit, cfg) -> RshIndex:
         H2 = jnp.zeros(n0pad, jnp.uint32)
         H3 = jnp.zeros(n0pad, jnp.uint32)
         TD = jnp.full(n0pad, -1, jnp.int32)
+        nv_dev = []
         with phase(f"SE dev: l{l} hash pass", cfg.verbose):
             for s0 in range(0, n0pad, slab):
-                H1, H2, H3, TD = _se_hash_slab(
+                H1, H2, H3, TD, nv = _se_hash_slab(
                     H1, H2, H3, TD, ref.p16, ref.badp, ref.cuml,
                     jnp.int32(s0), slab=slab, unstranded=unstranded,
                     borderpos=borderpos, seqlength=seqlength,
                     readlength=l, Lp=ref.Lp)
-            _psync(TD)
+                nv_dev.append(nv)
+            n_valid = int(np.asarray(jnp.stack(nv_dev)).sum())
+
+        if single_sort:
+            with phase(f"SE dev: l{l} sort ({n0pad} rows)", cfg.verbose):
+                S1, S2, S3, ST = _sort_payload4(H1, H2, H3, TD)
+                del H1, H2, H3, TD
+                S1 = _pad_sorted(S1, jnp.uint32(0xFFFFFFFF), tail=Q + V)
+                S2 = _pad_sorted(S2, jnp.uint32(0xFFFFFFFF), tail=Q + V)
+                S3 = _pad_sorted(S3, jnp.uint32(0xFFFFFFFF), tail=Q + V)
+                ST = _pad_sorted(ST, jnp.int32(0), tail=Q + V)
+                _psync(ST)
+            U = min(Q + V + 1, caps["TABCAP"] // 4)
+            C2 = min(Q + V + 1, caps["MEMCAP"] // 2)
+            n_chunks = max(-(-n0pad // Q), 1)
+            with phase(f"SE dev: l{l} accumulate ({n_chunks} chunks)",
+                       cfg.verbose):
+                for k in range(n_chunks):
+                    state = _se_sorted_chunk(
+                        state, S1, S2, S3, ST, jnp.int32(k * Q),
+                        jnp.int32(l - lmin), jnp.int32(chunk_id),
+                        jnp.int32(n_valid), Q=Q, V=V, nfl=nfl,
+                        max_repeat=int(cfg.max_repeat), U=U, C2=C2)
+                    chunk_id += 1
+                    state, drained = _maintain(state, caps, drained, U, C2)
+            del S1, S2, S3, ST
+            continue
         while True:  # escalation: only giant equal-window runs resist
             B = 1 << kbits
             with phase(f"SE dev: l{l} rank pass ({B} buckets)",
