@@ -201,6 +201,15 @@ class DeviceRef:
         self.p16, self.badp = _unpack_ref(self._packed, self._badbits, Lp)
         self._nsep = None
 
+    def release_seq(self):
+        """Free the packed sequence tables (several GB at human scale)
+        once hashing is done — rank-space tables don't need them.  nsep
+        stays constructible (it derives from the retained sepbits)."""
+        self.p16 = None
+        self.badp = None
+        self._packed = None
+        self._badbits = None
+
     @property
     def nsep(self):
         """nsep[k] = index of the first '@'/'$' separator at or after k
@@ -254,65 +263,9 @@ def _t32_kernel(cuml, Lp: int, borderpos: int, seqlength: int,
             ).astype(jnp.int32)
 
 
-def _window_hash(p16, positions, readlength: int):
-    """[N, 4] uint32 window hashes (static readlength)."""
-    W = pack.n_words(readlength)
-    cols = []
-    for w in range(W):
-        cols.append(p16[positions + 16 * w])
-    words = jnp.stack(cols, axis=1)
-    rem = readlength - 16 * (W - 1)
-    if rem < 16:
-        words = words.at[:, W - 1].set(
-            words[:, W - 1] >> jnp.uint32(2 * (16 - rem)))
-    return _hash4(words, jnp.asarray(_MULT))
-
 # --------------------------------------------------------------------------
 # rank pass (PE): group every window position by exact sequence
 # --------------------------------------------------------------------------
-
-
-@functools.partial(
-    jax.jit, static_argnames=("Npad", "n_fw", "two_halves", "borderpos",
-                              "seqlength", "readlength", "Lp"))
-def _rank_kernel(p16, badp, Npad: int, n_fw: int, two_halves: bool,
-                 borderpos: int, seqlength: int, readlength: int, Lp: int):
-    """Sort all window positions by 128-bit window hash; returns
-    (pos_sorted, rank_sorted, R, max_cluster, n_valid).
-
-    Replaces the reference's mate1 suffix sort + mark_sfa_se
-    (src/emsar_functions.c:1108-1149, 1300-1306): rank == cluster id.
-    """
-    rl = readlength
-    i = jnp.arange(Npad, dtype=jnp.int32)
-    n_total = n_fw * 2 if two_halves else n_fw
-    if two_halves:
-        pos = jnp.where(i < n_fw, i, seqlength - rl - (i - n_fw))
-    else:
-        pos = i
-    inb = i < n_total
-    posc = jnp.clip(pos, 0, Lp - rl - 17)
-    valid = inb & ((badp[posc + rl] - badp[posc]) == 0)
-    h = _window_hash(p16, posc, rl)
-    keyv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
-    out = jax.lax.sort((keyv,) + tuple(h[:, k] for k in range(4)) + (pos,),
-                       num_keys=5, is_stable=False)
-    kv = out[0]
-    keys = jnp.stack(out[1:5], axis=1)
-    spos = out[5]
-    diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
-    start = jnp.concatenate([jnp.ones(1, bool), diff])
-    rank = jnp.cumsum(start.astype(jnp.int32)) - 1
-    vsorted = kv == 0
-    rank = jnp.where(vsorted, rank, BIG_RANK)
-    R = jnp.full(Lp, BIG_RANK, dtype=jnp.int32)
-    R = R.at[jnp.where(vsorted, spos, Lp)].set(rank, mode="drop")
-    # cluster-size maximum (for the chunk overlap V)
-    ii = jnp.arange(Npad, dtype=jnp.int32)
-    _, ns = _run_bounds(start)
-    max_cluster = jnp.max(jnp.where(start & vsorted, ns - ii, 0))
-    n_valid = jnp.sum(vsorted, dtype=jnp.int32)
-    return spos, rank, R, max_cluster, n_valid
 
 
 # --------------------------------------------------------------------------
@@ -320,89 +273,71 @@ def _rank_kernel(p16, badp, Npad: int, n_fw: int, two_halves: bool,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("nbuckets",))
-def _prefix_hist(prefix, nbuckets: int):
-    return jnp.zeros(nbuckets, jnp.int32).at[
-        jnp.minimum(prefix.astype(jnp.int32), nbuckets - 1)].add(1)
-
-
 @functools.partial(
-    jax.jit, static_argnames=("slab", "kbits", "n_fw", "two_halves",
-                              "borderpos", "seqlength", "readlength", "Lp"))
-def _pe_prefix_slab(p16, badp, start, slab: int, kbits: int, n_fw: int,
-                    two_halves: bool, borderpos: int, seqlength: int,
-                    readlength: int, Lp: int):
-    """Prefix bucket of the literal mate1 window at rank-pass index i
-    (both halves when unstranded); invalid windows map to 0xFFFF."""
+    jax.jit, static_argnames=("slab", "rc_half", "n_half", "seqlength",
+                              "readlength"),
+    donate_argnums=(0, 1, 2, 3))
+def _pe_hash_slab(H1, H2, H3, PS, p16, badp, s0, out0,
+                  slab: int, rc_half: bool, n_half: int, seqlength: int,
+                  readlength: int):
+    """Literal mate1 window hash + position for rank-pass indices
+    [s0, s0+slab) of one strand half, written at out0.  fw half: pos = i
+    ascending (plain slices); rc half: pos = seqlength - rl - i
+    descending (flipped slices).  Invalid windows carry the all-ones
+    identity and pos -1."""
     rl = readlength
-    i = start + jnp.arange(slab, dtype=jnp.int32)
-    n_total = n_fw * 2 if two_halves else n_fw
-    if two_halves:
-        pos = jnp.where(i < n_fw, i, seqlength - rl - (i - n_fw))
+    W = pack.n_words(rl)
+    i = s0 + jnp.arange(slab, dtype=jnp.int32)
+    if rc_half:
+        base = seqlength - rl - s0 - (slab - 1)
+        words = [jnp.flip(jax.lax.dynamic_slice(p16, (base + 16 * w,),
+                                                (slab,)))
+                 for w in range(W)]
+        pos = seqlength - rl - i
+        b0 = jnp.flip(jax.lax.dynamic_slice(badp, (base,), (slab,)))
+        b1 = jnp.flip(jax.lax.dynamic_slice(badp, (base + rl,), (slab,)))
     else:
+        words = [jax.lax.dynamic_slice(p16, (s0 + 16 * w,), (slab,))
+                 for w in range(W)]
         pos = i
-    posc = jnp.clip(pos, 0, Lp - rl - 17)
-    valid = (i < n_total) & ((badp[posc + rl] - badp[posc]) == 0)
-    w0 = p16[posc]
-    if rl < 16:
-        sh = jnp.uint32(2 * (16 - rl))
-        w0 = (w0 >> sh) << sh
-    pre = (w0 >> jnp.uint32(32 - kbits)).astype(jnp.uint16)
-    return jnp.where(valid, pre, jnp.uint16(0xFFFF))
+        b0 = jax.lax.dynamic_slice(badp, (s0,), (slab,))
+        b1 = jax.lax.dynamic_slice(badp, (s0 + rl,), (slab,))
+    rem = rl - 16 * (W - 1)
+    if rem < 16:
+        words[W - 1] = words[W - 1] >> jnp.uint32(2 * (16 - rem))
+    valid = (i < n_half) & (b1 - b0 == 0)
+    h1, h2, h3 = _hash3_cols(words)
+    h1 = jnp.where(valid, h1, CLAIM_EMPTY)
+    h2 = jnp.where(valid, h2, CLAIM_EMPTY)
+    h3 = jnp.where(valid, h3, CLAIM_EMPTY)
+    pos = jnp.where(valid, pos, -1)
+    H1 = jax.lax.dynamic_update_slice(H1, h1, (out0,))
+    H2 = jax.lax.dynamic_update_slice(H2, h2, (out0,))
+    H3 = jax.lax.dynamic_update_slice(H3, h3, (out0,))
+    PS = jax.lax.dynamic_update_slice(PS, pos, (out0,))
+    return H1, H2, H3, PS, jnp.sum(valid, dtype=jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("Bcap", "n_fw", "two_halves", "borderpos",
-                              "seqlength", "readlength", "Lp"),
-    donate_argnums=(0, 1, 2))
-def _rank_bucket(R, spos_glob, rank_glob, p16, prefix, b, rank_off,
-                 valid_off, Bcap: int, n_fw: int, two_halves: bool,
-                 borderpos: int, seqlength: int, readlength: int, Lp: int):
-    """One prefix bucket of the rank pass: compact its window positions,
-    sort by 128-bit window hash, assign globally-offset ranks, scatter
-    into R, and append the sorted (pos, rank) stream at valid_off.
-    Returns (R, spos_glob, rank_glob, n_distinct, n_valid, max_cluster).
-
-    Equal windows share a prefix, so per-bucket grouping composes exactly;
-    bucket-major rank order is a total order over distinct windows, which
-    is all the downstream orientation rules need (module docstring)."""
-    rl = readlength
-    n = prefix.shape[0]
-    m = prefix == b.astype(jnp.uint16)
-    idx = jnp.cumsum(m.astype(jnp.int32)) - 1
-    ibuf = jnp.full(Bcap, n, jnp.int32).at[
-        jnp.where(m, idx, Bcap)].set(jnp.arange(n, dtype=jnp.int32),
-                                     mode="drop")
-    cnt = jnp.sum(m, dtype=jnp.int32)
-    j = jnp.arange(Bcap, dtype=jnp.int32)
-    valid = j < cnt
-    i = jnp.where(valid, ibuf, 0)
-    if two_halves:
-        pos = jnp.where(i < n_fw, i, seqlength - rl - (i - n_fw))
-    else:
-        pos = i
-    posc = jnp.clip(pos, 0, Lp - rl - 17)
-    h = _window_hash(p16, posc, rl)
-    keyv = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
-    out = jax.lax.sort((keyv,) + tuple(h[:, k] for k in range(4)) + (pos,),
-                       num_keys=5, is_stable=False)
-    kv = out[0]
-    keys = jnp.stack(out[1:5], axis=1)
-    spos = out[5]
-    diff = jnp.any(keys[1:] != keys[:-1], axis=1) | (kv[1:] != kv[:-1])
+@functools.partial(jax.jit, static_argnames=("Lp",),
+                   donate_argnums=(0, 1, 2))
+def _pe_rank_finish(S1, S2, S3, SP, n_valid, Lp: int):
+    """From the identity-sorted (hash, pos) stream: per-row rank (equal
+    windows share one), the position->rank table R, and cluster stats.
+    Returns (R, rank, max_cluster, n_distinct); SP is the sorted position
+    stream (mate1 members of each cluster are contiguous)."""
+    N = S1.shape[0]
+    j = jnp.arange(N, dtype=jnp.int32)
+    valid = j < n_valid
+    diff = (S1[1:] != S1[:-1]) | (S2[1:] != S2[:-1]) | (S3[1:] != S3[:-1])
     start = jnp.concatenate([jnp.ones(1, bool), diff])
-    rank = jnp.cumsum(start.astype(jnp.int32)) - 1 + rank_off
-    vsorted = kv == 0
-    n_distinct = jnp.max(jnp.where(vsorted,
-                                   rank - rank_off + 1, 0))
-    rank = jnp.where(vsorted, rank, BIG_RANK)
-    R = R.at[jnp.where(vsorted, spos, Lp)].set(rank, mode="drop")
-    ii = jnp.arange(Bcap, dtype=jnp.int32)
+    rank = jnp.cumsum(start.astype(jnp.int32)) - 1
+    n_distinct = jnp.max(jnp.where(valid, rank + 1, 0))
+    rank = jnp.where(valid, rank, BIG_RANK)
+    R = jnp.full(Lp, BIG_RANK, dtype=jnp.int32)
+    R = R.at[jnp.where(valid, SP, Lp)].set(rank, mode="drop")
     _, ns = _run_bounds(start)
-    max_cluster = jnp.max(jnp.where(start & vsorted, ns - ii, 0))
-    spos_glob = jax.lax.dynamic_update_slice(spos_glob, spos, (valid_off,))
-    rank_glob = jax.lax.dynamic_update_slice(rank_glob, rank, (valid_off,))
-    return R, spos_glob, rank_glob, n_distinct, cnt, max_cluster
+    max_cluster = jnp.max(jnp.where(start & valid, ns - j, 0))
+    return R, rank, max_cluster, n_distinct
 
 
 def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
@@ -1100,64 +1035,52 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
                     multi_euma=euma)
 
 
-def _pe_rank_partitioned(tx, ref, rl: int, Npos: int, two: bool,
-                         limit: int, cfg):
-    """Prefix-partitioned rank pass for PE builds beyond one sort's
-    budget; returns (spos, rank, max_cluster, n_valid, R) shaped like
-    _rank_kernel's outputs (spos/rank are the bucket-major concatenated
-    streams)."""
-    borderpos, seqlength = int(tx.borderpos), int(tx.seqlength)
-    n_fw = borderpos - rl + 1
-    kbits = 2
-    while (Npos >> kbits) > limit // 4 and kbits < 16:
-        kbits += 2
-    kbits = min(kbits, 2 * min(rl, 16))
-    slab = min(_next_pow2(Npos), 1 << 25)
-    npad = _pad_to(Npos, slab)
-    prefix_buf = jnp.zeros(npad, jnp.uint16)
-    while True:
-        B = 1 << kbits
-        with phase(f"PE dev: rank prefix pass (k={kbits // 2}b)",
-                   cfg.verbose):
-            for s0 in range(0, npad, slab):
-                pre = _pe_prefix_slab(
-                    ref.p16, ref.badp, jnp.int32(s0), slab=slab,
-                    kbits=kbits, n_fw=n_fw, two_halves=two,
-                    borderpos=borderpos, seqlength=seqlength,
-                    readlength=rl, Lp=ref.Lp)
-                prefix_buf = jax.lax.dynamic_update_slice(prefix_buf, pre,
-                                                          (s0,))
-            counts = np.asarray(_prefix_hist(prefix_buf, nbuckets=B + 1))
-        maxb = int(counts[:B].max()) if B else 0
-        if maxb <= limit or kbits >= min(16, 2 * min(rl, 16)):
-            break
-        kbits += 2
-    Bcap = _next_pow2(max(maxb, 1024))
-    if Bcap > limit:
+def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
+    """Rank pass: contiguous hash slabs over both strand halves, one
+    global 4-operand sort, linear rank/R construction.  Replaces the
+    reference's mate1 suffix sort + mark_sfa_se
+    (src/emsar_functions.c:1108-1149, 1300-1306): rank == cluster id,
+    and any total order over distinct windows serves the downstream
+    orientation rules (module docstring).
+    Returns (spos, rank, max_cluster, n_valid, R)."""
+    seqlength = int(tx.seqlength)
+    n_fw = int(tx.borderpos) - rl + 1
+    # slab <= pad(n_fw) keeps every rc flipped slice in bounds
+    # (pad_to(n_fw, slab) <= 2*n_fw <= seqlength - rl + 1)
+    slab = min(_next_pow2(n_fw), 1 << 25)
+    hpad = _pad_to(n_fw, slab)
+    halves = [False] + ([True] if two else [])
+    Npad = hpad * len(halves)
+    if Npad > (1 << 28) + (1 << 27):
         raise DeviceBuildUnsupported(
-            f"rank bucket of {maxb} windows exceeds the sort budget")
-
-    R = jnp.full(ref.Lp, BIG_RANK, dtype=jnp.int32)
-    SG = jnp.zeros(Npos + Bcap + 8, jnp.int32)
-    RG = jnp.full(Npos + Bcap + 8, BIG_RANK, jnp.int32)
-    rank_off = 0
-    valid_off = 0
-    maxcl = 0
-    with phase(f"PE dev: rank pass ({1 << kbits} buckets, cap {Bcap})",
-               cfg.verbose):
-        for b in range(1 << kbits):
-            if counts[b] == 0:
-                continue
-            R, SG, RG, nd, cnt, mc = _rank_bucket(
-                R, SG, RG, ref.p16, prefix_buf, jnp.uint32(b),
-                jnp.int32(rank_off), jnp.int32(valid_off), Bcap=Bcap,
-                n_fw=n_fw, two_halves=two, borderpos=borderpos,
-                seqlength=seqlength, readlength=rl, Lp=ref.Lp)
-            scal = np.asarray(jnp.stack([nd, cnt, mc]))
-            rank_off += int(scal[0])
-            valid_off += int(scal[1])
-            maxcl = max(maxcl, int(scal[2]))
-    return SG, RG, maxcl, valid_off, R
+            f"{Npad} mate1 windows exceed the rank-sort memory budget")
+    H1 = jnp.full(Npad, CLAIM_EMPTY, jnp.uint32)
+    H2 = jnp.full(Npad, CLAIM_EMPTY, jnp.uint32)
+    H3 = jnp.full(Npad, CLAIM_EMPTY, jnp.uint32)
+    PS = jnp.full(Npad, -1, jnp.int32)
+    nv_dev = []
+    with phase("PE dev: rank hash pass", cfg.verbose):
+        out0 = 0
+        for rc in halves:
+            for s0 in range(0, hpad, slab):
+                H1, H2, H3, PS, c = _pe_hash_slab(
+                    H1, H2, H3, PS, ref.p16, ref.badp, jnp.int32(s0),
+                    jnp.int32(out0 + s0), slab=slab, rc_half=rc,
+                    n_half=n_fw, seqlength=seqlength, readlength=rl)
+                nv_dev.append(c)
+            out0 += hpad
+        n_valid = int(np.asarray(jnp.stack(nv_dev)).sum())
+    ref.release_seq()  # the expansion phase only needs rank-space tables
+    with phase(f"PE dev: rank sort ({Npad} rows)", cfg.verbose):
+        S1, S2, S3, SP = _sort_payload4(H1, H2, H3, PS)
+        del H1, H2, H3, PS
+        _psync(SP)
+    with phase("PE dev: rank finish", cfg.verbose):
+        R, rank, maxcl, _ = _pe_rank_finish(S1, S2, S3, SP,
+                                            jnp.int32(n_valid), Lp=ref.Lp)
+        del S1, S2, S3
+        maxcl_i = int(np.asarray(maxcl))
+    return SP, rank, maxcl_i, n_valid, R
 
 
 def build_pe_index_device(tx: Transcriptome, readlength: int,
@@ -1177,23 +1100,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         raise DeviceBuildUnsupported("read length exceeds transcriptome")
     two = not stranded
     Npos = n_fw * (2 if two else 1)
-    Npad = _next_pow2(Npos)
-    # the rank-pass sort carries 6 operands; clamp its budget
-    limit = min(getattr(cfg, "device_sort_limit", 1 << 26), 1 << 26)
 
     with phase("PE dev: reference upload", cfg.verbose):
         ref = DeviceRef(tx)
-    if Npad <= limit:
-        with phase("PE dev: rank pass", cfg.verbose):
-            spos, rank, R, maxcl, nvalid = _rank_kernel(
-                ref.p16, ref.badp, Npad=Npad, n_fw=n_fw, two_halves=two,
-                borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
-                readlength=rl, Lp=ref.Lp)
-            scal = np.asarray(jnp.stack([maxcl, nvalid]))
-            maxcl_i, nvalid_i = int(scal[0]), int(scal[1])
-    else:
-        spos, rank, maxcl_i, nvalid_i, R = _pe_rank_partitioned(
-            tx, ref, rl, Npos, two, limit, cfg)
+    spos, rank, maxcl_i, nvalid_i, R = _pe_rank_hashsort(tx, ref, rl, two,
+                                                         cfg)
 
     V = _next_pow2(max(maxcl_i + 1, 8))
     if V * nfl * 2 > max(int(cfg.pe_chunk_candidates), 4 * nfl):
@@ -1218,9 +1129,12 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
              jnp.full(MV + 1, BIG_RANK, jnp.int32)])
         RW = jnp.where(R == BIG_RANK, KEY_PAD, R.astype(jnp.uint32))
         if two:
-            iw = jnp.arange(ref.Lp, dtype=jnp.int32)
-            src = jnp.clip(int(tx.seqlength) - rl - iw, 0, ref.Lp - 1)
-            RF32 = jnp.where(iw <= int(tx.seqlength) - rl, R[src], BIG_RANK)
+            # RF32[i] = R[seqlength - rl - i]: a flip of the valid prefix
+            # (an Lp-wide gather from the HBM-resident R is ~30x slower)
+            nv_ = int(tx.seqlength) - rl + 1
+            RF32 = jnp.concatenate(
+                [jnp.flip(R[:nv_]),
+                 jnp.full(ref.Lp - nv_, BIG_RANK, jnp.int32)])
         else:
             RF32 = R
         T32 = ref.t32(rl)
