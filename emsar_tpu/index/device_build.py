@@ -221,8 +221,12 @@ class DeviceRef:
     def t32(self, readlength: int):
         """tid of every window-start position (reference sf_i,
         src/emsar_functions.c:2619-2627), device int32 [Lp]."""
-        return _t32_kernel(self.cuml, self.Lp, int(self.tx.borderpos),
-                           int(self.tx.seqlength), readlength)
+        borderpos = int(self.tx.borderpos)
+        seqlength = int(self.tx.seqlength)
+        size = _pad_to(max(borderpos - readlength + 2,
+                           seqlength - borderpos + 2), 256)
+        tidf = _tid_forward(self.cuml, size=size)
+        return _t32_kernel(tidf, self.Lp, borderpos, seqlength, readlength)
 
 
 @functools.partial(jax.jit, static_argnames=("Lp",))
@@ -253,14 +257,18 @@ def _nsep_kernel(sepbits, Lp: int):
 @functools.partial(jax.jit,
                    static_argnames=("Lp", "borderpos", "seqlength",
                                     "readlength"))
-def _t32_kernel(cuml, Lp: int, borderpos: int, seqlength: int,
+def _t32_kernel(tidf, Lp: int, borderpos: int, seqlength: int,
                 readlength: int):
-    k = jnp.arange(Lp, dtype=jnp.int32)
-    flipped = jnp.where(k + readlength > borderpos,
-                        seqlength - k - readlength, k)
-    flipped = jnp.clip(flipped, 0, None)
-    return (jnp.searchsorted(cuml, flipped, side="right") - 1
-            ).astype(jnp.int32)
+    """tid per window-start position (reference sf_i,
+    src/emsar_functions.c:2619-2627): the fw prefix of the forward tid
+    table + a flipped slice for the rc half (no Lp-wide searchsorted)."""
+    rl = readlength
+    n1 = borderpos - rl + 1
+    v0 = seqlength - rl - n1  # flipped position of k = n1
+    part1 = jax.lax.dynamic_slice(tidf, (0,), (n1,))
+    rcpart = jnp.flip(jax.lax.dynamic_slice(tidf, (0,), (v0 + 1,)))
+    tail = jnp.full(Lp - n1 - (v0 + 1), tidf[0], jnp.int32)
+    return jnp.concatenate([part1, rcpart, tail])
 
 
 # --------------------------------------------------------------------------
@@ -667,11 +675,20 @@ def _hash3_cols(words):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _tid_forward(cuml, size: int):
+    """tid of every forward position [0, size): cumsum over transcript-
+    start marks.  (searchsorted per window costs log2(ntid) tiny gathers
+    per position — ~600M gathers at human scale.)"""
+    marks = jnp.zeros(size, jnp.int32).at[cuml].add(1, mode="drop")
+    return jnp.cumsum(marks) - 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("slab", "unstranded", "borderpos",
                               "seqlength", "readlength", "Lp"),
     donate_argnums=(0, 1, 2, 3))
-def _se_hash_slab(H1, H2, H3, TD, p16, badp, cuml, s0,
+def _se_hash_slab(H1, H2, H3, TD, p16, badp, tidf, s0,
                   slab: int, unstranded: bool, borderpos: int,
                   seqlength: int, readlength: int, Lp: int):
     """Fill payload arrays for positions [s0, s0+slab): 96-bit canonical
@@ -683,7 +700,7 @@ def _se_hash_slab(H1, H2, H3, TD, p16, badp, cuml, s0,
     valid = (i <= borderpos - rl) & (b1 - b0 == 0)
     words = _slab_words(p16, s0, slab, rl, seqlength, Lp, unstranded)
     h1, h2, h3 = _hash3_cols(words)
-    tid = (jnp.searchsorted(cuml, i, side="right") - 1).astype(jnp.int32)
+    tid = jax.lax.dynamic_slice(tidf, (s0,), (slab,))
     tid = jnp.where(valid, tid, -1)
     h1 = jnp.where(valid, h1, CLAIM_EMPTY)
     h2 = jnp.where(valid, h2, CLAIM_EMPTY)
@@ -1213,6 +1230,7 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
     chunk_id = 0
     slab = min(_next_pow2(n0), 1 << 25)
     n0pad = _pad_to(n0, slab)
+    tidf = _tid_forward(ref.cuml, size=n0pad)
     single_sort = n0pad <= max(limit, 1 << 20)
     V = _next_pow2(max(int(cfg.max_repeat) + 2, 64))
     Q = min(_next_pow2(n0pad), 1 << 24)
@@ -1232,7 +1250,7 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
         with phase(f"SE dev: l{l} hash pass", cfg.verbose):
             for s0 in range(0, n0pad, slab):
                 H1, H2, H3, TD, nv = _se_hash_slab(
-                    H1, H2, H3, TD, ref.p16, ref.badp, ref.cuml,
+                    H1, H2, H3, TD, ref.p16, ref.badp, tidf,
                     jnp.int32(s0), slab=slab, unstranded=unstranded,
                     borderpos=borderpos, seqlength=seqlength,
                     readlength=l, Lp=ref.Lp)
