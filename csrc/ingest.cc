@@ -51,6 +51,16 @@ struct Counts {
     int64_t* fraglen_counts;
     int64_t hist_size;
     int64_t total_read_count = 0;
+    // positional-bias accumulation (-m 1, reference update_ReadCounts
+    // posmodel blocks src/emsar_functions.c:852-934); pb_len == 0 disables.
+    // pb_mark[t] accumulates the per-alignment weight of transcripts of
+    // length t < pb_len; the caller suffix-sums it into the "unavailable
+    // position" arrays (Python PosBias semantics, ingest/collapse.py).
+    const int64_t* pb_tlen = nullptr;
+    int64_t pb_len = 0;
+    double* pb_freq5 = nullptr;
+    double* pb_freq3 = nullptr;
+    double* pb_mark = nullptr;
 };
 
 struct Aln {
@@ -83,6 +93,23 @@ struct Collapser {
         }
         int64_t fraglen = cur[0].fraglen;
         if (fraglen < min_frag || fraglen > max_frag) return;
+        if (out->pb_len) {
+            // per-alignment weight 1/n (Python PosBias.add; reference
+            // perpos_freq accrual).  freq3's negative-offset wraparound
+            // mirrors NumPy's negative indexing in the Python path.
+            double w = 1.0 / (double)n;
+            int64_t L = out->pb_len;
+            for (auto& a : cur) {
+                int64_t tlen = out->pb_tlen[a.tid];
+                if ((int64_t)a.pos < L) out->pb_freq5[a.pos] += w;
+                int64_t d3 = tlen - ((int64_t)a.pos + a.fraglen - 1);
+                if (d3 < L) {
+                    int64_t idx = d3 >= 0 ? d3 : L + (d3 > -L ? d3 : -L);
+                    out->pb_freq3[idx] += w;
+                }
+                if (tlen < L) out->pb_mark[tlen] += w;
+            }
+        }
         if (n == 1) {
             if (has_single[cur[0].tid]) out->single_counts[cur[0].tid]++;
         } else {
@@ -469,7 +496,8 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
                         int64_t* single_counts, int64_t* multi_counts,
                         int64_t* fraglen_counts, int64_t hist_size,
                         int64_t* total_out, int64_t* readlength_io,
-                        int nthreads) {
+                        int nthreads, const int64_t* pb_tlen, int64_t pb_len,
+                        double* pb_freq5, double* pb_freq3, double* pb_mark) {
     g_error.clear();
     const NameTable* names = (const NameTable*)name_table;
     const SigTable* sigs = (const SigTable*)sig_table;
@@ -497,6 +525,11 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
             return -1;
         }
         Counts counts{single_counts, multi_counts, fraglen_counts, hist_size};
+        counts.pb_tlen = pb_tlen;
+        counts.pb_len = pb_len;
+        counts.pb_freq5 = pb_freq5;
+        counts.pb_freq3 = pb_freq3;
+        counts.pb_mark = pb_mark;
         int rc = bowtie_worker(fh, -1, pe, strand_code, max_repeat, min_frag,
                                max_frag, names, sigs, has_single, counts,
                                readlength_io);
@@ -528,6 +561,7 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
 
     struct Priv {
         std::vector<int64_t> single, multi, hist;
+        std::vector<double> pb5, pb3, pbm;
         Counts counts;
         int rc = 0;
         int64_t readlength;
@@ -541,6 +575,16 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
         p.hist.assign((size_t)hist_size, 0);
         p.counts = Counts{p.single.data(), p.multi.data(), p.hist.data(),
                           hist_size};
+        if (pb_len) {
+            p.pb5.assign((size_t)pb_len, 0.0);
+            p.pb3.assign((size_t)pb_len, 0.0);
+            p.pbm.assign((size_t)pb_len, 0.0);
+            p.counts.pb_tlen = pb_tlen;
+            p.counts.pb_len = pb_len;
+            p.counts.pb_freq5 = p.pb5.data();
+            p.counts.pb_freq3 = p.pb3.data();
+            p.counts.pb_mark = p.pbm.data();
+        }
         p.readlength = *readlength_io;
     }
     std::vector<std::string> errors(nthreads);
@@ -590,6 +634,11 @@ int emsar_ingest_bowtie(const char* path, int pe, int strand_code,
             multi_counts[i] += priv[t].multi[i];
         for (int64_t i = 0; i < hist_size; i++)
             fraglen_counts[i] += priv[t].hist[i];
+        for (int64_t i = 0; i < pb_len; i++) {
+            pb_freq5[i] += priv[t].pb5[(size_t)i];
+            pb_freq3[i] += priv[t].pb3[(size_t)i];
+            pb_mark[i] += priv[t].pbm[(size_t)i];
+        }
         total += priv[t].counts.total_read_count;
     }
     *total_out = total;
@@ -958,21 +1007,40 @@ int ingest_records(NextFn&& next_rec, int pe, int strand_code,
 
 struct IngestPriv {
     std::vector<int64_t> single, multi, hist;
+    std::vector<double> pb5, pb3, pbm;
     Counts counts;
     int rc = 0;
     int64_t readlength = -1;
     std::string error;
 };
 
+struct PosArgs {
+    const int64_t* tlen = nullptr;
+    int64_t len = 0;
+    double* freq5 = nullptr;
+    double* freq3 = nullptr;
+    double* mark = nullptr;
+};
+
 void init_privs(std::vector<IngestPriv>& priv, const NameTable* names,
                 const SigTable* sigs, int64_t hist_size,
-                int64_t readlength0) {
+                int64_t readlength0, const PosArgs& pb) {
     for (auto& p : priv) {
         p.single.assign((size_t)names->n, 0);
         p.multi.assign((size_t)sigs->n, 0);
         p.hist.assign((size_t)hist_size, 0);
         p.counts = Counts{p.single.data(), p.multi.data(), p.hist.data(),
                           hist_size};
+        if (pb.len) {
+            p.pb5.assign((size_t)pb.len, 0.0);
+            p.pb3.assign((size_t)pb.len, 0.0);
+            p.pbm.assign((size_t)pb.len, 0.0);
+            p.counts.pb_tlen = pb.tlen;
+            p.counts.pb_len = pb.len;
+            p.counts.pb_freq5 = p.pb5.data();
+            p.counts.pb_freq3 = p.pb3.data();
+            p.counts.pb_mark = p.pbm.data();
+        }
         p.readlength = readlength0;
     }
 }
@@ -983,7 +1051,7 @@ int merge_privs(std::vector<IngestPriv>& priv, const NameTable* names,
                 const SigTable* sigs, int64_t* single_counts,
                 int64_t* multi_counts, int64_t* fraglen_counts,
                 int64_t hist_size, int64_t* total_out,
-                int64_t* readlength_io) {
+                int64_t* readlength_io, const PosArgs& pb) {
     int rc = 0;
     int64_t readlength = *readlength_io;
     for (auto& p : priv) {
@@ -1007,6 +1075,11 @@ int merge_privs(std::vector<IngestPriv>& priv, const NameTable* names,
         for (int64_t i = 0; i < sigs->n; i++) multi_counts[i] += p.multi[i];
         for (int64_t i = 0; i < hist_size; i++)
             fraglen_counts[i] += p.hist[i];
+        for (int64_t i = 0; i < pb.len; i++) {
+            pb.freq5[i] += p.pb5[(size_t)i];
+            pb.freq3[i] += p.pb3[(size_t)i];
+            pb.mark[i] += p.pbm[(size_t)i];
+        }
         total += p.counts.total_read_count;
     }
     *total_out += total;
@@ -1023,7 +1096,7 @@ int ingest_bam_parallel(FILE* fh, int pe, int strand_code,
                         int64_t* single_counts, int64_t* multi_counts,
                         int64_t* fraglen_counts, int64_t hist_size,
                         int64_t* total_out, int64_t* readlength_io,
-                        int nthreads) {
+                        int nthreads, const PosArgs& pb) {
     BamReader hdr_rd(fh);
     if (!hdr_rd.open_header()) return -7;
     // eager ref->tid map; unknown names only error when referenced
@@ -1035,7 +1108,7 @@ int ingest_bam_parallel(FILE* fh, int pe, int strand_code,
 
     const int T = nthreads;
     std::vector<IngestPriv> priv(T);
-    init_privs(priv, names, sigs, hist_size, *readlength_io);
+    init_privs(priv, names, sigs, hist_size, *readlength_io, pb);
 
     // decompressed bytes already pulled while parsing the header
     std::vector<uint8_t> carry(hdr_rd.bgzf.out.begin() +
@@ -1198,7 +1271,8 @@ int ingest_bam_parallel(FILE* fh, int pe, int strand_code,
         carry.assign(decomp.begin() + (ptrdiff_t)proc_end, decomp.end());
     }
     return merge_privs(priv, names, sigs, single_counts, multi_counts,
-                       fraglen_counts, hist_size, total_out, readlength_io);
+                       fraglen_counts, hist_size, total_out, readlength_io,
+                       pb);
 }
 
 // first byte offset at or after `from` that starts a new qname group in a
@@ -1234,7 +1308,7 @@ int ingest_sam_parallel(const char* path, int64_t fsize, int pe,
                         int64_t* single_counts, int64_t* multi_counts,
                         int64_t* fraglen_counts, int64_t hist_size,
                         int64_t* total_out, int64_t* readlength_io,
-                        int nthreads) {
+                        int nthreads, const PosArgs& pb) {
     const int T = nthreads;
     std::vector<int64_t> bounds((size_t)T + 1);
     bounds[0] = 0;
@@ -1253,7 +1327,7 @@ int ingest_sam_parallel(const char* path, int64_t fsize, int pe,
         fclose(fh);
     }
     std::vector<IngestPriv> priv(T);
-    init_privs(priv, names, sigs, hist_size, *readlength_io);
+    init_privs(priv, names, sigs, hist_size, *readlength_io, pb);
     std::vector<std::thread> ths;
     auto work = [&](int t) {
         IngestPriv& p = priv[t];
@@ -1295,7 +1369,8 @@ int ingest_sam_parallel(const char* path, int64_t fsize, int pe,
     for (auto& p : priv)
         if (p.rc == -100) return -100;
     return merge_privs(priv, names, sigs, single_counts, multi_counts,
-                       fraglen_counts, hist_size, total_out, readlength_io);
+                       fraglen_counts, hist_size, total_out, readlength_io,
+                       pb);
 }
 
 }  // namespace
@@ -1307,8 +1382,11 @@ extern "C" int emsar_ingest_bam(
                      const uint8_t* has_single, int64_t* single_counts,
                      int64_t* multi_counts, int64_t* fraglen_counts,
                      int64_t hist_size, int64_t* total_out,
-                     int64_t* readlength_io, int nthreads) {
+                     int64_t* readlength_io, int nthreads,
+                     const int64_t* pb_tlen, int64_t pb_len,
+                     double* pb_freq5, double* pb_freq3, double* pb_mark) {
     g_error.clear();
+    PosArgs pb{pb_tlen, pb_len, pb_freq5, pb_freq3, pb_mark};
     bool is_file = path && path[0];
     if (nthreads > 16) nthreads = 16;
     if (is_file && nthreads > 1) {
@@ -1331,7 +1409,7 @@ extern "C" int emsar_ingest_bam(
                     path, fsize, pe, strand_code, max_repeat, min_frag,
                     max_frag, names_p, sigs_p, has_single, single_counts,
                     multi_counts, fraglen_counts, hist_size, total_out,
-                    readlength_io, nthreads);
+                    readlength_io, nthreads, pb);
         } else {
             FILE* fh = fopen(path, "rb");
             if (!fh) {
@@ -1342,7 +1420,7 @@ extern "C" int emsar_ingest_bam(
                 fh, pe, strand_code, max_repeat, min_frag,
                 max_frag, names_p, sigs_p, has_single, single_counts,
                 multi_counts, fraglen_counts, hist_size, total_out,
-                readlength_io, nthreads);
+                readlength_io, nthreads, pb);
             fclose(fh);
         }
         if (rc != -100) return rc;
@@ -1360,6 +1438,11 @@ extern "C" int emsar_ingest_bam(
     Collapser col{(const SigTable*)sig_table, has_single, min_frag, max_frag,
                   max_repeat, pe != 0, nullptr};
     Counts counts{single_counts, multi_counts, fraglen_counts, hist_size};
+    counts.pb_tlen = pb_tlen;
+    counts.pb_len = pb_len;
+    counts.pb_freq5 = pb_freq5;
+    counts.pb_freq3 = pb_freq3;
+    counts.pb_mark = pb_mark;
     col.out = &counts;
 
     int rc;

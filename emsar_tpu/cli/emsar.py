@@ -309,7 +309,7 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
 
     native_collapser = None
     from ..ingest import native as native_mod
-    if posbias is None and native_mod.available():
+    if native_mod.available():
         with phase("building native ingest tables", cfg.verbose):
             native_collapser = native_mod.NativeCollapser(index)
 
@@ -332,7 +332,7 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                     alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
                     cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
                     pe_readlength if cfg.pe else None,
-                    nthreads=cfg.max_threads)
+                    nthreads=cfg.max_threads, posbias=posbias)
             else:
                 counts = _collapse_python(index, name_to_tid, cfg, alnfile,
                                           pe_readlength, posbias)

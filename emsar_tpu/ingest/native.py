@@ -82,20 +82,24 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.emsar_make_sig_table.argtypes = [_i64p, _i32p, ctypes.c_int64]
         lib.emsar_free_sig_table.argtypes = [ctypes.c_void_p]
         lib.emsar_ingest_last_error.restype = ctypes.c_char_p
+        # trailing posbias block (nullable pointers): tlen, freq_len,
+        # freq5, freq3, unavail-mark
+        _pb = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+               ctypes.c_void_p, ctypes.c_void_p]
         lib.emsar_ingest_bowtie.restype = ctypes.c_int
         lib.emsar_ingest_bowtie.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int]
+            ctypes.c_int] + _pb
         lib.emsar_ingest_bam.restype = ctypes.c_int
         lib.emsar_ingest_bam.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, _u8p, _i64p, _i64p, _i64p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int]
+            ctypes.c_int] + _pb
         _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
         lib.emsar_group_rows.restype = ctypes.c_int64
         lib.emsar_group_rows.argtypes = [_u64p, _u64p, ctypes.c_void_p,
@@ -198,11 +202,16 @@ class NativeCollapser:
                       max_repeat: int, min_fraglength: int,
                       max_fraglength: int,
                       readlength_holder: Optional[List[int]] = None,
-                      nthreads: int = 0) -> SampleCounts:
+                      nthreads: int = 0, posbias=None) -> SampleCounts:
         """nthreads: bowtie-format files are split at read-group boundaries
         and parsed+collapsed by that many threads into private buffers
         (counts are exactly the sequential ones — unlike the reference's
-        racy -p mode).  0 = one thread per CPU."""
+        racy -p mode).  0 = one thread per CPU.
+
+        ``posbias``: an ``ingest.collapse.PosBias`` to accumulate into
+        (-m 1 path); the native code adds directly into its ``freq_5``/
+        ``freq_3`` arrays and emits unavailability *marks* which are
+        suffix-summed here (identical semantics to PosBias.add)."""
         idx = self.index
         hist_size = max(max_fraglength, idx.fraglen_max) + 1
         single = np.zeros(idx.n_transcripts, dtype=np.int64)
@@ -210,6 +219,20 @@ class NativeCollapser:
         hist = np.zeros(hist_size, dtype=np.int64)
         total = ctypes.c_int64(0)
         rl = ctypes.c_int64(readlength_holder[0] if readlength_holder else -1)
+
+        if posbias is not None:
+            pb_tlen = np.ascontiguousarray(posbias.tlen, dtype=np.int64)
+            pb5 = posbias.freq_5
+            pb3 = posbias.freq_3
+            assert (pb5.dtype == np.float64 and pb5.flags.c_contiguous and
+                    pb3.dtype == np.float64 and pb3.flags.c_contiguous)
+            pb_mark = np.zeros(posbias.freq_len, dtype=np.float64)
+            _p = ctypes.c_void_p
+            pb_args = (_p(pb_tlen.ctypes.data), posbias.freq_len,
+                       _p(pb5.ctypes.data), _p(pb3.ctypes.data),
+                       _p(pb_mark.ctypes.data))
+        else:
+            pb_args = (None, 0, None, None, None)
 
         if nthreads <= 0:
             # cgroup/affinity-aware CPU count (os.cpu_count() reports the
@@ -224,19 +247,25 @@ class NativeCollapser:
                 min_fraglength, max_fraglength, self._name_table,
                 self._sig_table, self._has_single, single, multi, hist,
                 hist_size, ctypes.byref(total), ctypes.byref(rl),
-                int(nthreads))
+                int(nthreads), *pb_args)
         else:
             rc = self._lib.emsar_ingest_bam(
                 path.encode(), int(fmt == "sam"), int(pe), strand_code,
                 max_repeat, min_fraglength, max_fraglength, self._name_table,
                 self._sig_table, self._has_single, single, multi, hist,
                 hist_size, ctypes.byref(total), ctypes.byref(rl),
-                int(nthreads))
+                int(nthreads), *pb_args)
         if rc != 0:
             err = self._lib.emsar_ingest_last_error().decode("latin-1")
             raise ValueError(f"native ingest failed ({rc}): {err}")
         if readlength_holder is not None:
             readlength_holder[0] = int(rl.value)
+        if posbias is not None:
+            # mark[t] = weight of transcripts with tlen == t; PosBias adds
+            # that weight to every unavailable position >= tlen
+            unavail = np.cumsum(pb_mark)
+            posbias.unavail_5 += unavail
+            posbias.unavail_3 += unavail
         return SampleCounts(single_counts=single, multi_counts=multi,
                             fraglength_counts=hist,
                             total_read_count=int(total.value))

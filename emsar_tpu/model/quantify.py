@@ -147,11 +147,17 @@ def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
         keep = multi_tid[problem.edge_tid]
         if not keep.any():
             return np.broadcast_to(fpkm, (cfg.num_round, ntid)).copy()
+        # compact the segment axis to segments with a kept edge — the
+        # others contribute nothing to the restricted likelihood but would
+        # still cost segment_sum bandwidth every EM iteration
+        seg_used = np.zeros(len(problem.eumaps), dtype=bool)
+        seg_used[problem.edge_cid[keep]] = True
+        new_cid = (np.cumsum(seg_used) - 1).astype(np.int32)
         sub = SolverProblem(
-            n_transcripts=ntid, edge_cid=problem.edge_cid[keep],
+            n_transcripts=ntid, edge_cid=new_cid[problem.edge_cid[keep]],
             edge_tid=problem.edge_tid[keep],
-            edge_mult=problem.edge_mult[keep], eumaps=problem.eumaps,
-            reads=problem.reads,
+            edge_mult=problem.edge_mult[keep],
+            eumaps=problem.eumaps[seg_used], reads=problem.reads[seg_used],
             denom=np.where(multi_tid, problem.denom, 0.0))
         extra = solve_restart_rounds(
             sub, cfg.num_round - 1, epsilon=max(cfg.epsilon, 1e-4),

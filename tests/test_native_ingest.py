@@ -147,3 +147,44 @@ def test_parallel_bam_odd_group_fallback(tmp_path):
                                index.min_fraglength, index.max_fraglength,
                                [index.readlength], nthreads=nthreads)
         _counts_equal(base, thr)
+
+
+@requires_native
+@pytest.mark.parametrize("pe", [False, True])
+def test_native_posbias_matches_python(tmp_path, pe):
+    """-m 1: the native posbias accrual must reproduce the Python
+    PosBias arrays exactly (incl. the NumPy negative-index wraparound on
+    freq_3 and the unavailability suffix sums), across thread counts."""
+    from emsar_tpu.ingest.collapse import PosBias
+    from emsar_tpu.io.fasta import read_fasta
+
+    rng = np.random.default_rng(83 + pe)
+    fasta, rsh, aln = _make_fixture(tmp_path, rng, n_tx=25, readlength=18,
+                                    pe=pe, fraglen=40 if pe else 18,
+                                    n_reads=1200, strand="ns",
+                                    max_frag=70 if pe else None)
+    index = RshIndex.read_text(rsh)
+    cfg = QuantConfig(pe=pe, strand=StrandType.parse("ns", pe), verbose=0)
+    cfg.min_fraglength = index.min_fraglength
+    cfg.max_fraglength = index.max_fraglength
+    name_to_tid = {n: i for i, n in enumerate(index.names)}
+    tlen = read_fasta(fasta, "E").transcript_lengths()
+
+    pb_py = PosBias(tlen, 100)
+    _collapse_python(index, name_to_tid, cfg, aln,
+                     [index.readlength if pe else -1], pb_py)
+    assert pb_py.freq_5.sum() > 0  # the fixture exercises the accrual
+
+    nc = native.NativeCollapser(index)
+    for nthreads in (1, 3):
+        pb_nat = PosBias(tlen, 100)
+        nc.collapse_file(aln, "bowtie", pe, cfg.strand.code, cfg.max_repeat,
+                         cfg.min_fraglength, cfg.max_fraglength,
+                         [index.readlength if pe else -1],
+                         nthreads=nthreads, posbias=pb_nat)
+        np.testing.assert_allclose(pb_nat.freq_5, pb_py.freq_5, rtol=1e-12)
+        np.testing.assert_allclose(pb_nat.freq_3, pb_py.freq_3, rtol=1e-12)
+        np.testing.assert_allclose(pb_nat.unavail_5, pb_py.unavail_5,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(pb_nat.unavail_3, pb_py.unavail_3,
+                                   rtol=1e-12)
