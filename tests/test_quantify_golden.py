@@ -174,3 +174,66 @@ def test_max_repeat_flag_golden(tmp_path):
                                 pe=False, fraglen=15, n_reads=2000)
     ref, ours = _run_both(tmp_path, rsh, aln, pe=False, extra=("-k", "3"))
     _compare(ref, ours)
+
+
+def test_sd_column_nonzero_on_collinear_modules(tmp_path):
+    """-n (num_round) semantics: on non-identifiable collinear isoform
+    groups the sd.of.FPKM column must report the restart spread like the
+    reference (src/emsar_main.c:444-450), while the FPKM/TPM point
+    estimate stays the deterministic round-0 solve (documented divergence
+    in outputs.write_fpkm)."""
+    from emsar_tpu.config import QuantConfig, StrandType
+    from emsar_tpu.io.rsh import RshIndex
+    from emsar_tpu.cli.emsar import _collapse_python
+    from emsar_tpu.model.quantify import quantify_sample
+    from emsar_tpu.io.outputs import write_fpkm
+    import os
+
+    rng = np.random.default_rng(91)
+    # two identical transcripts (a perfectly collinear pair) among decoys
+    names, seqs = random_transcriptome(rng, 12, min_len=80, max_len=200,
+                                       shared_frac=0.0)
+    twin = seqs[0]
+    names = names + ["TWIN1", "TWIN2"]
+    seqs = seqs + [twin, twin]
+    names[0] = "TWIN0"  # three-way identical group
+    fasta = str(tmp_path / "t.fa")
+    write_fasta(fasta, names, seqs)
+    rsh = run_ref_build(fasta, 20, str(tmp_path), "idx", pe=False)
+    tx = build_transcriptome(names, seqs)
+    pos = simulate_fragments(tx, 20, 3000, rng)
+    rnames, r1, _ = fragments_to_reads(tx, pos, 20, 20, pe=False)
+    aln = str(tmp_path / "aln.bowtieout")
+    with open(aln, "w") as fh:
+        for i, name in enumerate(rnames):
+            for ln in bowtie_lines_se(name, r1[i], names, seqs):
+                fh.write(ln + "\n")
+
+    index = RshIndex.read_text(rsh)
+    cfg = QuantConfig(verbose=0, strand=StrandType.parse("ns", False))
+    cfg.min_fraglength = index.min_fraglength
+    cfg.max_fraglength = index.max_fraglength
+    name_to_tid = {n: i for i, n in enumerate(index.names)}
+    counts = _collapse_python(index, name_to_tid, cfg, aln, [-1])
+    result = quantify_sample(index, counts, cfg)
+
+    out = str(tmp_path / "s.0.fpkm")
+    write_fpkm(out, index.names, result.fpkm_rounds, result.ieuma,
+               result.total_read_count, 0)
+    rows = {}
+    with open(out) as fh:
+        next(fh)
+        for ln in fh:
+            f = ln.rstrip("\n").split("\t")
+            rows[f[0]] = (float(f[1]), float(f[2]))
+    twins = [rows[n] for n in ("TWIN0", "TWIN1", "TWIN2")]
+    # the twins carry reads, so the group FPKM is positive and split is
+    # non-identifiable: the restart spread must be substantial
+    assert sum(f for f, _ in twins) > 0
+    assert all(sd > 0.01 * max(f, 1.0) for f, sd in twins), twins
+    # FPKM column = deterministic round 0
+    np.testing.assert_allclose([f for f, _ in twins],
+                               result.fpkm_rounds[0][
+                                   [index.names.index(n)
+                                    for n in ("TWIN0", "TWIN1", "TWIN2")]],
+                               rtol=1e-6)
