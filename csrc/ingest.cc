@@ -101,7 +101,15 @@ struct Collapser {
             int64_t L = out->pb_len;
             for (auto& a : cur) {
                 int64_t tlen = out->pb_tlen[a.tid];
-                if ((int64_t)a.pos < L) out->pb_freq5[a.pos] += w;
+                // a.pos can be negative on malformed input (SAM POS=0
+                // becomes -1 after the 1-based conversion); mirror NumPy's
+                // negative indexing like freq3 below instead of writing
+                // out of bounds.
+                int64_t p5 = (int64_t)a.pos;
+                if (p5 < L) {
+                    int64_t idx5 = p5 >= 0 ? p5 : L + (p5 > -L ? p5 : -L);
+                    out->pb_freq5[idx5] += w;
+                }
                 int64_t d3 = tlen - ((int64_t)a.pos + a.fraglen - 1);
                 if (d3 < L) {
                     int64_t idx = d3 >= 0 ? d3 : L + (d3 > -L ? d3 : -L);

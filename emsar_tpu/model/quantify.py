@@ -163,9 +163,13 @@ def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
         # FPKM); convergence error contributes O(eps * scale).  Measured on
         # the 12k-transcript bench workload, eps 1e-3 vs 1e-4 leaves the sd
         # distribution statistically identical (2618 vs 2620 transcripts
-        # with sd > 1, same max/mean) at half the solve time.
+        # with sd > 1, same max/mean) at half the solve time.  Only the
+        # default epsilon is loosened: an explicit -e overrides this floor
+        # in either direction.
+        default_eps = type(cfg).__dataclass_fields__["epsilon"].default
+        restart_eps = 1e-3 if cfg.epsilon == default_eps else cfg.epsilon
         extra = solve_restart_rounds(
-            sub, cfg.num_round - 1, epsilon=max(cfg.epsilon, 1e-3),
+            sub, cfg.num_round - 1, epsilon=restart_eps,
             max_iters=cfg.max_niter_mle, block_iters=cfg.solver_block_iters,
             dtype=dtype, seed=cfg.rng_seed if cfg.rng_seed is not None else 0,
             polish=False)

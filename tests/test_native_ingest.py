@@ -188,3 +188,61 @@ def test_native_posbias_matches_python(tmp_path, pe):
                                    rtol=1e-12)
         np.testing.assert_allclose(pb_nat.unavail_3, pb_py.unavail_3,
                                    rtol=1e-12)
+
+
+@requires_native
+@pytest.mark.parametrize("fmt", ["sam", "bam"])
+def test_native_posbias_sam_bam(tmp_path, fmt):
+    """-m 1 posbias parity for the SAM/BAM parsers too (the CLI routes
+    them through the same native flush path as bowtie, including the
+    parallel SAM byte-range split and parallel BAM inflate)."""
+    from tests.test_bam_sam import _pe_records, _write_sam
+    from emsar_tpu.io.bam import write_bam
+    from emsar_tpu.io.fasta import build_transcriptome, read_fasta
+    from emsar_tpu.ingest.collapse import PosBias
+    from emsar_tpu.sim import fragments_to_reads, simulate_fragments
+    from tests.util import random_transcriptome, run_ref_build, write_fasta
+
+    rng = np.random.default_rng(90)
+    names, seqs = random_transcriptome(rng, 20, min_len=60, max_len=250,
+                                       shared_frac=0.5)
+    fasta = str(tmp_path / "t.fa")
+    write_fasta(fasta, names, seqs)
+    rsh = run_ref_build(fasta, 20, str(tmp_path), "idx", pe=True,
+                        extra=["-F", "80"])
+    tx = build_transcriptome(names, seqs)
+    pos = simulate_fragments(tx, 50, 800, rng)
+    rnames, r1, r2 = fragments_to_reads(tx, pos, 20, 50, pe=True)
+    recs = _pe_records(rnames, r1, r2, names, seqs, max_insert=80)
+    path = str(tmp_path / ("a." + fmt))
+    if fmt == "bam":
+        write_bam(path, names, [len(s) for s in seqs], iter(recs))
+    else:
+        _write_sam(path, names, [len(s) for s in seqs], recs)
+
+    index = RshIndex.read_text(rsh)
+    cfg = QuantConfig(pe=True, strand=StrandType.parse("ns", True),
+                      verbose=0, aln_format=fmt)
+    cfg.min_fraglength = index.min_fraglength
+    cfg.max_fraglength = index.max_fraglength
+    name_to_tid = {n: i for i, n in enumerate(index.names)}
+    tlen = read_fasta(fasta, "E").transcript_lengths()
+
+    pb_py = PosBias(tlen, 100)
+    _collapse_python(index, name_to_tid, cfg, path, [index.readlength],
+                     pb_py)
+    assert pb_py.freq_5.sum() > 0
+
+    nc = native.NativeCollapser(index)
+    for nthreads in (1, 3):
+        pb_nat = PosBias(tlen, 100)
+        nc.collapse_file(path, fmt, True, cfg.strand.code, cfg.max_repeat,
+                         cfg.min_fraglength, cfg.max_fraglength,
+                         [index.readlength], nthreads=nthreads,
+                         posbias=pb_nat)
+        np.testing.assert_allclose(pb_nat.freq_5, pb_py.freq_5, rtol=1e-12)
+        np.testing.assert_allclose(pb_nat.freq_3, pb_py.freq_3, rtol=1e-12)
+        np.testing.assert_allclose(pb_nat.unavail_5, pb_py.unavail_5,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(pb_nat.unavail_3, pb_py.unavail_3,
+                                   rtol=1e-12)
