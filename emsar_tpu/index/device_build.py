@@ -231,17 +231,25 @@ class DeviceRef:
 
 @functools.partial(jax.jit, static_argnames=("Lp",))
 def _unpack_ref(packed, badbits, Lp: int):
-    """p16[k] = 2-bit codes of bases [k, k+16), big-endian, built from 5
-    byte gathers + shifts (fuses into one pass; the earlier 16x roll
-    construction materialized multiple [Lp] u32 temps and OOMed at
-    human scale)."""
+    """p16[k] = 2-bit codes of bases [k, k+16), big-endian.
+
+    The byte streams b[j][i] = packed[(i>>2)+j] are built as
+    repeat(slice, 4) — a reshape/broadcast, ~30x faster than the
+    equivalent byte gather on this hardware (tools/microbench_tpu.py);
+    likewise the badbits expansion is a repeat x8."""
     i = jnp.arange(Lp, dtype=jnp.int32)
-    bidx = i >> 2
-    b = [packed[bidx + j].astype(jnp.uint32) for j in range(5)]
+    nb = Lp // 4
+
+    def bytes_at(j):
+        return jnp.repeat(
+            jax.lax.dynamic_slice(packed, (j,), (nb,)).astype(jnp.uint32), 4)
+
+    b = [bytes_at(j) for j in range(5)]
     W = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
     sh = (2 * (i & 3)).astype(jnp.uint32)
     p16 = (W << sh) | (b[4] >> (jnp.uint32(8) - sh))
-    bb = (badbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1
+    bb8 = jnp.repeat(badbits[:Lp // 8].astype(jnp.uint8), 8)
+    bb = (bb8 >> (7 - (i & 7)).astype(jnp.uint8)) & 1
     badp = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(bb.astype(jnp.int32))])
     return p16, badp
@@ -250,7 +258,8 @@ def _unpack_ref(packed, badbits, Lp: int):
 @functools.partial(jax.jit, static_argnames=("Lp",))
 def _nsep_kernel(sepbits, Lp: int):
     i = jnp.arange(Lp, dtype=jnp.int32)
-    sep = ((sepbits[i >> 3] >> (7 - (i & 7)).astype(jnp.uint8)) & 1) == 1
+    s8 = jnp.repeat(sepbits[:Lp // 8].astype(jnp.uint8), 8)  # not a gather
+    sep = ((s8 >> (7 - (i & 7)).astype(jnp.uint8)) & 1) == 1
     return jax.lax.cummin(jnp.where(sep, i, jnp.int32(Lp)), reverse=True)
 
 
@@ -380,25 +389,30 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     host groups members by (chunk, run).  Claim-table entries may be
     "stolen" across launches by numerically smaller local ids — benign:
     every win still extracts one complete real run whose identity the host
-    recomputes from the members themselves."""
+    recomputes from the members themselves.
+
+    Cost discipline: full-width (E-sized) gathers/scatters dominate a
+    launch on this hardware (~120 M elem/s vs ~free elementwise/cumsum),
+    so everything testable per *record* — the multi-d filter, the hash
+    lanes, the claim probes — runs at record (U) scale after the cumsum+
+    scatter compaction; multi-d runs become dead rows (all-ones identity,
+    cnt 0) that the table aggregation drops."""
     E = start.shape[0]
     claim_mask = state["claim1"].shape[0] - 1
     i = jnp.arange(E, dtype=jnp.int32)
     my_start, next_start = _run_bounds(start)
     cntr = next_start - i
-    end = jnp.clip(next_start - 1, 0, E - 1)
     # d uniform within run <=> no adjacent differing pair inside the run
     prev_d = jnp.concatenate([jnp.zeros(1, d_ind.dtype), d_ind[:-1]])
     bad_pair = (~start) & (d_ind != prev_d)
     badS = jnp.cumsum(bad_pair.astype(jnp.int32), dtype=jnp.int32)
-    single_d = (badS[end] - badS + bad_pair.astype(jnp.int32)) == 0
 
     single = start & validrow & (cntr == 1)
     dense = state["dense"].at[
         jnp.where(single, tid * nfl + d_ind, state["dense"].shape[0])
     ].add(1, mode="drop")
 
-    rec = (start & validrow & (cntr > 1) & (cntr < max_repeat) & single_d)
+    rec = (start & validrow & (cntr > 1) & (cntr < max_repeat))
     sgu = (chunk_base + i).astype(jnp.uint32)
 
     # compact records (one per multi run) to the front of a [Ue] buffer via
@@ -410,13 +424,20 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     Ue = min(U, E)
     rec_valid = jnp.arange(Ue, dtype=jnp.int32) < rec_cnt
     rdst = jnp.where(rec, jnp.cumsum(rec.astype(jnp.int32)) - 1, Ue)
-    rsg = jnp.zeros(Ue, jnp.uint32).at[rdst].set(sgu, mode="drop")
+    # two 1-column scatters: a single [Ue, 2] row scatter measured 12x
+    # slower than two flat ones on this hardware (tools/microbench_tpu.py)
+    rsg = jnp.zeros(Ue, jnp.uint32).at[rdst].set(sgu, mode="drop",
+                                                 unique_indices=True)
     rfl = jnp.zeros(Ue, jnp.uint32).at[rdst].set(d_ind.astype(jnp.uint32),
-                                                 mode="drop")
+                                                 mode="drop",
+                                                 unique_indices=True)
     rec_idx = jnp.clip(rsg.astype(jnp.int32) - chunk_base, 0, E - 1)
-    rend = end[rec_idx]
+    rend = jnp.clip(next_start[rec_idx] - 1, 0, E - 1)
+    # multi-d test at record scale (reference multi_d filter :1926): no
+    # adjacent differing-d pair strictly inside [rec_idx, rend]
+    sd_rec = (badS[rend] - badS[rec_idx] + bad_pair[rec_idx]) == 0
+    rec_valid = rec_valid & sd_rec
     l1, l2, l3 = _sig_lanes(tid)
-    r1, r2, r3 = [], [], []
     lanes_out = []
     for lane in (l1, l2, l3):
         S = jnp.cumsum(lane, dtype=jnp.uint32)
@@ -461,16 +482,18 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         mem_sg, mem_tid, mem_chunk, mem_n, flags = args
         wflag = jnp.zeros(E + 1, bool).at[
             jnp.where(win_rec, (rsg.astype(jnp.int32) - chunk_base), E)
-        ].set(True, mode="drop")
+        ].set(True, mode="drop", unique_indices=True)
         win = wflag[jnp.clip(my_start, 0, E)] & validrow
         sg_run = chunk_base + my_start
         mem_cnt = jnp.sum(win, dtype=jnp.int32)
         C2e = min(C2, E)
         mdst = jnp.where(win, jnp.cumsum(win.astype(jnp.int32)) - 1, C2e)
-        msg = jnp.zeros(C2e, jnp.int32).at[mdst].set(sg_run, mode="drop")
-        mtid = jnp.zeros(C2e, tid.dtype).at[mdst].set(tid, mode="drop")
+        msg = jnp.zeros(C2e, jnp.int32).at[mdst].set(sg_run, mode="drop",
+                                                     unique_indices=True)
+        mtid = jnp.zeros(C2e, jnp.int32).at[mdst].set(
+            tid.astype(jnp.int32), mode="drop", unique_indices=True)
         mems, mem_n2, flags2 = _append_block(
-            [msg, mtid.astype(jnp.int32), jnp.full(C2e, ck, jnp.int32)],
+            [msg, mtid, jnp.full(C2e, ck, jnp.int32)],
             [mem_sg, mem_tid, mem_chunk], mem_n, mem_cnt,
             mem_sg.shape[0], flags, 1)
         return mems[0], mems[1], mems[2], mem_n2, flags2
@@ -546,17 +569,18 @@ def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
     ckey = jnp.where(cvalid, jnp.broadcast_to(
         mrank.astype(jnp.uint32)[:, None], (MV, nfl)), KEY_PAD).reshape(-1)
     rkey = jnp.where(cvalid, rw, KEY_PAD).reshape(-1)
-    E = MV * nfl
-    idx = jnp.arange(E, dtype=jnp.int32)
-    # tid rides as a post-sort gather (sidx//nfl -> mate1 row), not a
-    # fourth sort operand: every operand multiplies the bitonic passes
-    sck, srk, sidx = jax.lax.sort((ckey, rkey, idx), num_keys=2,
+    # (tid, d) packed into the payload operand: a post-sort tid gather at
+    # E scale costs more than the whole 3-operand sort's third lane.
+    # tid < 2^23 is guaranteed by the caller (MAX_NFL_PACKED = 2^9).
+    pay = ((tidm.astype(jnp.uint32) << jnp.uint32(9))[:, None]
+           | dd[None, :].astype(jnp.uint32)).reshape(-1)
+    sck, srk, spay = jax.lax.sort((ckey, rkey, pay), num_keys=2,
                                   is_stable=False)
-    stid = tidm[sidx // nfl]
+    stid = (spay >> jnp.uint32(9)).astype(jnp.int32)
     startf = jnp.concatenate([jnp.ones(1, bool),
                               (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
     validrow = sck != KEY_PAD
-    d_ind = sidx % nfl
+    d_ind = (spay & jnp.uint32(0x1FF)).astype(jnp.int32)
     # run ids are chunk-local (base 0) + a chunk lane: candidate counts may
     # exceed int32/uint32 at scale, and (chunk, id) is the identity anyway
     return _postsort_accumulate(state, startf, validrow, d_ind, stid,
@@ -870,23 +894,53 @@ def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
     )
 
 
-def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
+@functools.partial(jax.jit,
+                   static_argnames=("n_dense", "tabcap", "memcap", "claim"))
+def _init_state_dev(n_dense: int, tabcap: int, memcap: int, claim: int):
+    """All state buffers materialized in ONE device program (eagerly, each
+    full/zeros is a separate tunnel dispatch)."""
     return dict(
-        dense=jnp.zeros(ntid * nfl, jnp.int32),
-        tab_h1=jnp.full(caps["TABCAP"], CLAIM_EMPTY, jnp.uint32),
-        tab_h2=jnp.full(caps["TABCAP"], CLAIM_EMPTY, jnp.uint32),
-        tab_h3fl=jnp.full(caps["TABCAP"], CLAIM_EMPTY, jnp.uint32),
-        tab_cnt=jnp.zeros(caps["TABCAP"], jnp.uint32),
+        dense=jnp.zeros(n_dense, jnp.int32),
+        tab_h1=jnp.full(tabcap, CLAIM_EMPTY, jnp.uint32),
+        tab_h2=jnp.full(tabcap, CLAIM_EMPTY, jnp.uint32),
+        tab_h3fl=jnp.full(tabcap, CLAIM_EMPTY, jnp.uint32),
+        tab_cnt=jnp.zeros(tabcap, jnp.uint32),
         tab_n=jnp.zeros((), jnp.int32),
-        mem_sg=jnp.zeros(caps["MEMCAP"], jnp.int32),
-        mem_tid=jnp.zeros(caps["MEMCAP"], jnp.int32),
-        mem_chunk=jnp.zeros(caps["MEMCAP"], jnp.int32),
+        mem_sg=jnp.zeros(memcap, jnp.int32),
+        mem_tid=jnp.zeros(memcap, jnp.int32),
+        mem_chunk=jnp.zeros(memcap, jnp.int32),
         mem_n=jnp.zeros((), jnp.int32),
-        claim1=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
-        claim2=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
-        claim3=jnp.full(caps["CLAIM"], CLAIM_EMPTY, jnp.uint32),
+        claim1=jnp.full(claim, CLAIM_EMPTY, jnp.uint32),
+        claim2=jnp.full(claim, CLAIM_EMPTY, jnp.uint32),
+        claim3=jnp.full(claim, CLAIM_EMPTY, jnp.uint32),
         flags=jnp.zeros(4, jnp.int32),
     )
+
+
+def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
+    return _init_state_dev(n_dense=ntid * nfl, tabcap=caps["TABCAP"],
+                           memcap=caps["MEMCAP"], claim=caps["CLAIM"])
+
+
+@functools.partial(jax.jit, static_argnames=("MV", "Lp", "nv", "two"))
+def _pe_prep(spos, rank, R, MV: int, Lp: int, nv: int, two: bool):
+    """Expansion-phase tables in ONE device program (these were eager ops;
+    each 16-32M-element eager dispatch costs a tunnel round trip)."""
+    m1pos_ext = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), spos.astype(jnp.int32),
+         jnp.zeros(MV + 1, jnp.int32)])
+    m1rank_ext = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), rank,
+         jnp.full(MV + 1, BIG_RANK, jnp.int32)])
+    RW = jnp.where(R == BIG_RANK, KEY_PAD, R.astype(jnp.uint32))
+    if two:
+        # RF32[i] = R[seqlength - rl - i]: a flip of the valid prefix
+        # (an Lp-wide gather from the HBM-resident R is ~30x slower)
+        RF32 = jnp.concatenate(
+            [jnp.flip(R[:nv]), jnp.full(Lp - nv, BIG_RANK, jnp.int32)])
+    else:
+        RF32 = R
+    return m1pos_ext, m1rank_ext, RW, RF32
 
 
 def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
@@ -1111,6 +1165,9 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         raise DeviceBuildUnsupported(f"nFraglen {nfl} >= {MAX_NFL_PACKED}")
     if rl > 1024:
         raise DeviceBuildUnsupported("readlength > 1024")
+    if tx.n_transcripts >= 1 << 23:
+        # (tid, d) pack into one uint32 sort payload in _pe_chunk
+        raise DeviceBuildUnsupported("n_transcripts >= 2^23")
     stranded = cfg.strand.stranded
     n_fw = int(tx.borderpos) - rl + 1
     if n_fw <= 0:
@@ -1138,22 +1195,9 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     n_chunks = max((nvalid_i + M - 1) // M, 1)
 
     with phase("PE dev: prep", cfg.verbose):
-        m1pos_ext = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), spos.astype(jnp.int32),
-             jnp.zeros(MV + 1, jnp.int32)])
-        m1rank_ext = jnp.concatenate(
-            [jnp.full(1, -1, jnp.int32), rank,
-             jnp.full(MV + 1, BIG_RANK, jnp.int32)])
-        RW = jnp.where(R == BIG_RANK, KEY_PAD, R.astype(jnp.uint32))
-        if two:
-            # RF32[i] = R[seqlength - rl - i]: a flip of the valid prefix
-            # (an Lp-wide gather from the HBM-resident R is ~30x slower)
-            nv_ = int(tx.seqlength) - rl + 1
-            RF32 = jnp.concatenate(
-                [jnp.flip(R[:nv_]),
-                 jnp.full(ref.Lp - nv_, BIG_RANK, jnp.int32)])
-        else:
-            RF32 = R
+        m1pos_ext, m1rank_ext, RW, RF32 = _pe_prep(
+            spos, rank, R, MV=MV, Lp=ref.Lp,
+            nv=int(tx.seqlength) - rl + 1, two=two)
         T32 = ref.t32(rl)
         caps = _caps(Npos * nfl, tx.n_transcripts, nfl)
         state = _init_state(tx.n_transcripts, nfl, caps)
