@@ -124,6 +124,16 @@ def _next_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
+def _quantize_size(n: int) -> int:
+    """Round up to a multiple of 2^ceil(log2 n)/8 (<= 12.5% pad, ~8 shapes
+    per octave).  Device buffers sized this way share compiled executables
+    across transcriptomes of similar scale — each fresh shape costs a 1-5
+    minute remote compile through the relay."""
+    if n <= 4096:
+        return _next_pow2(n)
+    return _pad_to(n, _next_pow2(n) // 8)
+
+
 def _psync(*arrays):
     """Block on device work under EMSAR_DEVBUILD_PROFILE so phase timers
     attribute async dispatches to the phase that issued them."""
@@ -181,7 +191,7 @@ class DeviceRef:
         Lp = _pad_to(L + 64, 256)
         self.Lp = Lp
         codes = tx.codes
-        packed = np.zeros(Lp // 4 + 8, dtype=np.uint8)  # +8: gather guard
+        packed = np.zeros(_quantize_size(Lp // 4 + 8), dtype=np.uint8)
         c = np.zeros(Lp, dtype=np.uint8)
         c[:L] = codes & 3
         packed[:Lp // 4] |= c[0::4] << 6
@@ -191,22 +201,48 @@ class DeviceRef:
         badbits = np.zeros(Lp, dtype=bool)
         badbits[:L] = codes >= 4
         badbits[L:] = True
+        bb = np.full(_quantize_size(Lp // 8), 0xFF, dtype=np.uint8)
+        bb[:Lp // 8] = np.packbits(badbits)
         self._packed = jnp.asarray(packed)
-        self._badbits = jnp.asarray(np.packbits(badbits))
+        self._badbits = jnp.asarray(bb)
         sepbits = np.zeros(Lp, dtype=bool)
         sepbits[:L] = (tx.seq[:L] == ord("@")) | (tx.seq[:L] == ord("$"))
         sepbits[L:] = True
-        self._sepbits = jnp.asarray(np.packbits(sepbits))
-        self.cuml = jnp.asarray(tx.cuml.astype(np.int32))
-        self.p16, self.badp = _unpack_ref(self._packed, self._badbits, Lp)
+        self._sepbits_host = np.packbits(sepbits)
+        cu = tx.cuml.astype(np.int32)
+        # pad with an out-of-range sentinel: cuml is only ever scattered
+        # with mode="drop" (_tid_forward), so pad rows are inert and the
+        # device shape is quantized
+        cup = np.full(_quantize_size(len(cu)), np.iinfo(np.int32).max,
+                      dtype=np.int32)
+        cup[:len(cu)] = cu
+        self.cuml = jnp.asarray(cup)
+        self._p16 = None
+        self._badp = None
         self._nsep = None
+
+    @property
+    def p16(self):
+        """Full [Lp] window-word table (PE rank pass).  8 bytes/base once
+        badp is included — built lazily; the SE builder never materializes
+        it (slab-local unpack from the 2-bit codes instead)."""
+        if self._p16 is None:
+            self._p16, self._badp = _unpack_ref(self._packed, self._badbits,
+                                                self.Lp)
+        return self._p16
+
+    @property
+    def badp(self):
+        if self._badp is None:
+            _ = self.p16
+        return self._badp
 
     def release_seq(self):
         """Free the packed sequence tables (several GB at human scale)
         once hashing is done — rank-space tables don't need them.  nsep
         stays constructible (it derives from the retained sepbits)."""
-        self.p16 = None
-        self.badp = None
+        self._p16 = None
+        self._badp = None
         self._packed = None
         self._badbits = None
 
@@ -215,7 +251,8 @@ class DeviceRef:
         """nsep[k] = index of the first '@'/'$' separator at or after k
         (PE only; 4 bytes/position, so built lazily)."""
         if self._nsep is None:
-            self._nsep = _nsep_kernel(self._sepbits, self.Lp)
+            self._nsep = _nsep_kernel(jnp.asarray(self._sepbits_host),
+                                      self.Lp)
         return self._nsep
 
     def t32(self, readlength: int):
@@ -656,26 +693,60 @@ def _se_sorted_chunk(state, S1, S2, S3, ST, q0, fl_ind, chunk_id, n_valid,
 # --------------------------------------------------------------------------
 
 
-def _slab_words(p16, s0, slab: int, rl: int, seqlength: int, Lp: int,
-                unstranded: bool):
+def _p16_range(packed, q, n: int):
+    """Window words p16[q : q+n] unpacked straight from the 2-bit code
+    bytes (p16[k] = codes of bases [k, k+16), big-endian).  ``q`` is a
+    traced scalar: the aligned prefix q0 = q & ~3 makes every byte stream
+    a repeat(dynamic_slice) — a reshape, ~30x faster than a byte gather on
+    this hardware — and the final slice drops the q & 3 misalignment.
+    Nothing [Lp]-sized is ever materialized."""
+    q0 = q - (q & 3)
+    nb = n // 4 + 2
+
+    def bytes_at(j):
+        return jnp.repeat(jax.lax.dynamic_slice(
+            packed, ((q0 >> 2) + j,), (nb,)).astype(jnp.uint32), 4)
+
+    b = [bytes_at(j) for j in range(5)]
+    W = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+    sh = (2 * (jnp.arange(4 * nb, dtype=jnp.uint32) & 3)).astype(jnp.uint32)
+    pal = (W << sh) | (b[4] >> (jnp.uint32(8) - sh))
+    return jax.lax.dynamic_slice(pal, (q & 3,), (n,))
+
+
+def _bad_win(badbits, s0, n: int, rl: int):
+    """Count of non-ACGT bases in window [i, i+rl) for i in [s0, s0+n):
+    slab-local exclusive cumsum over the bad bitfield — the global [Lp+1]
+    prefix table this replaces was 4 bytes/base."""
+    nbits = n + _pad_to(rl, 8) + 8
+    by = jax.lax.dynamic_slice(badbits, (s0 >> 3,), (nbits // 8,))
+    b8 = jnp.repeat(by.astype(jnp.uint8), 8)
+    idx = jnp.arange(nbits, dtype=jnp.int32)
+    bits = (b8 >> (7 - (idx & 7)).astype(jnp.uint8)) & 1
+    ex = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(bits.astype(jnp.int32))])
+    return (jax.lax.dynamic_slice(ex, (rl,), (n,))
+            - jax.lax.dynamic_slice(ex, (0,), (n,)))
+
+
+def _slab_words_packed(packed, s0, slab: int, rl: int, seqlength,
+                       unstranded: bool):
     """Canonical window words for the contiguous positions [s0, s0+slab),
-    built from dynamic slices only (fw ascending, rc via flipped slices)."""
+    unpacked slab-locally (fw ascending; rc word w of window i sits at
+    seqlength - i - rl + 16w — descending in i, so it is the flip of the
+    range ending at s0's rc position)."""
     W = pack.n_words(rl)
-    fw = [jax.lax.dynamic_slice(p16, (s0 + 16 * w,), (slab,))
-          for w in range(W)]
+    fw = [_p16_range(packed, s0 + 16 * w, slab) for w in range(W)]
     rem = rl - 16 * (W - 1)
     sh = jnp.uint32(2 * (16 - rem)) if rem < 16 else None
     if sh is not None:
         fw[W - 1] = fw[W - 1] >> sh
     if not unstranded:
         return fw
-    # rc word w of window i sits at seqlength - i - rl + 16w: descending in
-    # i, so it is the flip of a slice ending at s0's rc position
     rc = []
     for w in range(W):
         start = seqlength - rl + 16 * w - s0 - (slab - 1)
-        rc.append(jnp.flip(
-            jax.lax.dynamic_slice(p16, (start,), (slab,))))
+        rc.append(jnp.flip(_p16_range(packed, start, slab)))
     if sh is not None:
         rc[W - 1] = rc[W - 1] >> sh
     cmp = jnp.zeros(slab, jnp.int8)
@@ -709,20 +780,22 @@ def _tid_forward(cuml, size: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slab", "unstranded", "borderpos",
-                              "seqlength", "readlength", "Lp"),
+    jax.jit, static_argnames=("slab", "unstranded", "readlength"),
     donate_argnums=(0, 1, 2, 3))
-def _se_hash_slab(H1, H2, H3, TD, p16, badp, tidf, s0,
-                  slab: int, unstranded: bool, borderpos: int,
-                  seqlength: int, readlength: int, Lp: int):
+def _se_hash_slab(H1, H2, H3, TD, packed, badbits, tidf, s0, borderpos,
+                  seqlength, slab: int, unstranded: bool, readlength: int):
     """Fill payload arrays for positions [s0, s0+slab): 96-bit canonical
-    window hash + transcript id (negative = invalid window)."""
+    window hash + transcript id (negative = invalid window).
+
+    Everything is unpacked slab-locally from the 2-bit code bytes — no
+    [Lp]-sized table exists anywhere (at human scale the global p16+badp
+    pair alone was 5.4 GB of the 16 GB HBM).  s0/borderpos/seqlength are
+    traced, so one executable serves every slab of every same-scale
+    transcriptome."""
     rl = readlength
     i = s0 + jnp.arange(slab, dtype=jnp.int32)
-    b0 = jax.lax.dynamic_slice(badp, (s0,), (slab,))
-    b1 = jax.lax.dynamic_slice(badp, (s0 + rl,), (slab,))
-    valid = (i <= borderpos - rl) & (b1 - b0 == 0)
-    words = _slab_words(p16, s0, slab, rl, seqlength, Lp, unstranded)
+    valid = (i <= borderpos - rl) & (_bad_win(badbits, s0, slab, rl) == 0)
+    words = _slab_words_packed(packed, s0, slab, rl, seqlength, unstranded)
     h1, h2, h3 = _hash3_cols(words)
     tid = jax.lax.dynamic_slice(tidf, (s0,), (slab,))
     tid = jnp.where(valid, tid, -1)
@@ -747,21 +820,26 @@ def _radix_rank_step(RANK, H1, TD, b, kbits: int):
     return jnp.where(m, r, RANK), jnp.sum(m, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("kbits", "out_size"))
-def _radix_scatter(H1, H2, H3, TD, RANK, off, kbits: int, out_size: int):
-    """Scatter payloads into bucket-major order (one pass, 4 scatters).
-
-    ``out_size`` is padded past the last bucket by one bucket capacity so
-    per-bucket dynamic slices never clamp backward into the previous
-    bucket (no donation: the shapes differ)."""
+@functools.partial(jax.jit, static_argnames=("kbits", "out_size"),
+                   donate_argnums=(2,))
+def _radix_dst(H1, TD, RANK, off, kbits: int, out_size: int):
+    """Bucket-major destination of every row (invalid rows land at
+    out_size and are dropped).  ``out_size`` is padded past the last
+    bucket by one bucket capacity so per-bucket dynamic slices never
+    clamp backward into the previous bucket."""
     b = (H1 >> jnp.uint32(32 - kbits)).astype(jnp.int32)
-    dst = jnp.where(TD >= 0, off[jnp.clip(b, 0, off.shape[0] - 1)] + RANK,
-                    out_size)
-    P1 = jnp.zeros(out_size, jnp.uint32).at[dst].set(H1, mode="drop")
-    P2 = jnp.zeros(out_size, jnp.uint32).at[dst].set(H2, mode="drop")
-    P3 = jnp.zeros(out_size, jnp.uint32).at[dst].set(H3, mode="drop")
-    PT = jnp.zeros(out_size, jnp.int32).at[dst].set(TD, mode="drop")
-    return P1, P2, P3, PT
+    return jnp.where(TD >= 0, off[jnp.clip(b, 0, off.shape[0] - 1)] + RANK,
+                     out_size)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",),
+                   donate_argnums=(0,))
+def _scatter_one(src, dst, out_size: int):
+    """One payload operand into bucket-major order.  Sequential
+    per-operand programs (source donated) keep the partition's peak to
+    ~1 operand extra; a single 8-array program held every input AND
+    output live at once — 11+ GB at human scale."""
+    return jnp.zeros(out_size, src.dtype).at[dst].set(src, mode="drop")
 
 
 @functools.partial(
@@ -1294,10 +1372,10 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
         with phase(f"SE dev: l{l} hash pass", cfg.verbose):
             for s0 in range(0, n0pad, slab):
                 H1, H2, H3, TD, nv = _se_hash_slab(
-                    H1, H2, H3, TD, ref.p16, ref.badp, tidf,
-                    jnp.int32(s0), slab=slab, unstranded=unstranded,
-                    borderpos=borderpos, seqlength=seqlength,
-                    readlength=l, Lp=ref.Lp)
+                    H1, H2, H3, TD, ref._packed, ref._badbits, tidf,
+                    jnp.int32(s0), jnp.int32(borderpos),
+                    jnp.int32(seqlength), slab=slab,
+                    unstranded=unstranded, readlength=l)
                 nv_dev.append(nv)
             n_valid = int(np.asarray(jnp.stack(nv_dev)).sum())
 
@@ -1353,10 +1431,14 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
         with phase(f"SE dev: l{l} radix partition", cfg.verbose):
             off = np.zeros(B, np.int32)
             np.cumsum(counts[:B - 1], out=off[1:])
-            P1, P2, P3, PT = _radix_scatter(
-                H1, H2, H3, TD, RANK, jnp.asarray(off), kbits=kbits,
-                out_size=out_size)
-            del H1, H2, H3, TD, RANK
+            dst = _radix_dst(H1, TD, RANK, jnp.asarray(off), kbits=kbits,
+                             out_size=out_size)
+            del RANK
+            P1 = _scatter_one(H1, dst, out_size=out_size)
+            P2 = _scatter_one(H2, dst, out_size=out_size)
+            P3 = _scatter_one(H3, dst, out_size=out_size)
+            PT = _scatter_one(TD, dst, out_size=out_size)
+            del H1, H2, H3, TD, dst
             _psync(PT)
         U = min(Bcap, caps["TABCAP"] // 4)
         # one launch may extract up to a whole bucket's members; _maintain
