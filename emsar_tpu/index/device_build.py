@@ -1434,11 +1434,17 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
             dst = _radix_dst(H1, TD, RANK, jnp.asarray(off), kbits=kbits,
                              out_size=out_size)
             del RANK
+            # free each source right after its scatter: peak stays ~1
+            # payload above steady state (all four at once adds ~4 GB at
+            # human scale)
             P1 = _scatter_one(H1, dst, out_size=out_size)
+            del H1
             P2 = _scatter_one(H2, dst, out_size=out_size)
+            del H2
             P3 = _scatter_one(H3, dst, out_size=out_size)
+            del H3
             PT = _scatter_one(TD, dst, out_size=out_size)
-            del H1, H2, H3, TD, dst
+            del TD, dst
             _psync(PT)
         U = min(Bcap, caps["TABCAP"] // 4)
         # one launch may extract up to a whole bucket's members; _maintain

@@ -38,6 +38,13 @@ from .modules import ModuleDecomposition, SegmentGraph
 SIZE_CLASSES: Tuple[Tuple[int, int], ...] = ((32, 8), (64, 16), (128, 32),
                                              (512, 128))
 
+# True f32 matmuls: the TPU MXU's default precision feeds bf16 inputs,
+# whose ~1e-3 relative noise exceeds the convergence epsilon — the
+# block-gain criterion then measures noise, not likelihood improvement,
+# and the while_loop spins to max_blocks.  These matmuls are tiny
+# (latency-bound), so HIGHEST costs nothing measurable.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass
 class DenseBatch:
@@ -168,10 +175,11 @@ def partition_modules(graph: SegmentGraph, modules: ModuleDecomposition,
 
 def _em_iter_dense(m, reads, inv_denom, theta):
     s = jnp.einsum("bct,bt->bc", m, theta,
-                   preferred_element_type=theta.dtype)
+                   preferred_element_type=theta.dtype,
+                   precision=_PREC)
     ratio = jnp.where(s > 0, reads / jnp.where(s > 0, s, 1.0), 0.0)
     num = jnp.einsum("bct,bc->bt", m, ratio,
-                     preferred_element_type=theta.dtype)
+                     preferred_element_type=theta.dtype, precision=_PREC)
     return theta * num * inv_denom
 
 
@@ -182,28 +190,16 @@ def _materialize(flat_idx, eumaps, B: int, C: int, T: int):
     return m.reshape(B, C, T)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("B", "C", "T", "block_iters",
-                                    "max_blocks"))
-def _dense_solve_jax(flat_idx, eumaps, reads, epsilon,
-                     B: int, C: int, T: int,
-                     block_iters: int, max_blocks: int):
-    """Batched dense SQUAREM EM with the same convergence semantics as the
-    CSR solver (termwise likelihood gains)."""
-    m = _materialize(flat_idx, eumaps, B, C, T)
-    denom = jnp.einsum("bct,bc->bt", m, eumaps,
-                       preferred_element_type=eumaps.dtype)
-    inv_denom = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0),
-                          0.0)
-    # read-attribution start: all of each segment's reads granted to every
-    # member transcript (upper-bound scale, cheap, halves the cycle count
-    # vs. all-ones; exact zeros stay zero, which is their optimum)
-    theta0 = jnp.einsum("bct,bc->bt", m, reads,
-                        preferred_element_type=reads.dtype) * inv_denom
+def _solve_loop(m, eumaps, reads, inv_denom, theta0, epsilon,
+                block_iters: int, max_blocks: int):
+    """SQUAREM EM from ``theta0`` with the same convergence semantics as
+    the CSR solver (termwise likelihood gains).  Shared by the main solve
+    and the vmapped restart rounds."""
 
     def intens(th):
         return jnp.einsum("bct,bt->bc", m, th,
-                          preferred_element_type=th.dtype)
+                          preferred_element_type=th.dtype,
+                          precision=_PREC)
 
     def gain_rows(s_old, s_new):
         both = (s_old > 0) & (s_new > 0)
@@ -250,6 +246,80 @@ def _dense_solve_jax(flat_idx, eumaps, reads, epsilon,
              jnp.asarray(jnp.inf, theta0.dtype))
     th, _, it, _ = jax.lax.while_loop(cond, block, block(state))
     return th, it
+
+
+def _prep_dense(flat_idx, eumaps, B: int, C: int, T: int):
+    m = _materialize(flat_idx, eumaps, B, C, T)
+    denom = jnp.einsum("bct,bc->bt", m, eumaps,
+                       preferred_element_type=eumaps.dtype, precision=_PREC)
+    inv_denom = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0),
+                          0.0)
+    return m, inv_denom
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "C", "T", "block_iters",
+                                    "max_blocks"))
+def _dense_solve_jax(flat_idx, eumaps, reads, epsilon,
+                     B: int, C: int, T: int,
+                     block_iters: int, max_blocks: int):
+    m, inv_denom = _prep_dense(flat_idx, eumaps, B, C, T)
+    # read-attribution start: all of each segment's reads granted to every
+    # member transcript (upper-bound scale, cheap, halves the cycle count
+    # vs. all-ones; exact zeros stay zero, which is their optimum)
+    theta0 = jnp.einsum("bct,bc->bt", m, reads,
+                        preferred_element_type=reads.dtype,
+                        precision=_PREC) * inv_denom
+    return _solve_loop(m, eumaps, reads, inv_denom, theta0, epsilon,
+                       block_iters, max_blocks)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "C", "T", "block_iters",
+                                    "max_blocks"))
+def _dense_restart_jax(flat_idx, eumaps, reads, inits, epsilon,
+                       B: int, C: int, T: int,
+                       block_iters: int, max_blocks: int):
+    """Random-restart solves of one dense size class, vmapped over the
+    rounds axis of ``inits`` [R, B, T].  The membership tensor and
+    denominator are materialized once and broadcast across rounds."""
+    m, inv_denom = _prep_dense(flat_idx, eumaps, B, C, T)
+    th, it = jax.vmap(
+        lambda th0: _solve_loop(m, eumaps, reads, inv_denom, th0, epsilon,
+                                block_iters, max_blocks))(inits)
+    return th, jnp.max(it)
+
+
+def subset_batch(batch: DenseBatch, rows: np.ndarray) -> DenseBatch:
+    """The sub-batch of ``rows`` (module indices into the batch axis)."""
+    B, C, T = batch.shape
+    brow = np.full(B, -1, dtype=np.int64)
+    brow[rows] = np.arange(len(rows))
+    b_of = batch.flat_idx // (C * T)
+    keep = brow[b_of] >= 0
+    rem = batch.flat_idx[keep] - b_of[keep] * (C * T)
+    flat = brow[b_of[keep]] * (C * T) + rem
+    nB = len(rows)
+    return DenseBatch(
+        shape=(nB, C, T),
+        flat_idx=flat.astype(np.int32 if nB * C * T < 2**31 else np.int64),
+        eumaps=batch.eumaps[rows], reads=batch.reads[rows],
+        tid_map=batch.tid_map[rows], sids=batch.sids[rows])
+
+
+def solve_dense_restarts(batch: DenseBatch, inits: np.ndarray,
+                         epsilon: float, block_iters: int = 8,
+                         max_blocks: int = 2048) -> np.ndarray:
+    """Solve one dense size class from ``inits`` [R, B, T] (the restart
+    rounds behind sd.of.FPKM); returns theta [R, B, T]."""
+    B, C, T = batch.shape
+    E = jnp.asarray(batch.eumaps)
+    th, _ = _dense_restart_jax(jnp.asarray(batch.flat_idx), E,
+                               jnp.asarray(batch.reads),
+                               jnp.asarray(inits.astype(batch.eumaps.dtype)),
+                               jnp.asarray(epsilon, E.dtype),
+                               B, C, T, block_iters, max_blocks)
+    return np.asarray(th)
 
 
 # --------------------------------------------------------------------------
@@ -344,22 +414,22 @@ def solve_dense_batch(batch: DenseBatch, epsilon: float,
     # Pallas path: host convergence loop over VMEM-resident blocks
     m = jax.jit(_materialize, static_argnames=("B", "C", "T"))(
         jnp.asarray(batch.flat_idx), E, B=B, C=C, T=T)
-    denom = jnp.einsum("bct,bc->bt", m, E)
+    denom = jnp.einsum("bct,bc->bt", m, E, precision=_PREC)
     inv_denom = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0),
                           0.0)
-    theta0 = jnp.einsum("bct,bc->bt", m, R) * inv_denom
+    theta0 = jnp.einsum("bct,bc->bt", m, R, precision=_PREC) * inv_denom
     # VMEM budget ~2MB for the membership tile
     tile_b = max(1, min(B, (1 << 19) // max(C * T * 4, 1)))
     while B % tile_b:
         tile_b -= 1
     th = theta0
-    s_prev = jnp.einsum("bct,bt->bc", m, th)
+    s_prev = jnp.einsum("bct,bt->bc", m, th, precision=_PREC)
     blocks = 0
     run = jax.jit(functools.partial(_pallas_block, n_iters=block_iters,
                                     tile_b=tile_b))
     for blocks in range(1, max_blocks + 1):
         th = run(m, E, R, inv_denom, th)
-        s_new = jnp.einsum("bct,bt->bc", m, th)
+        s_new = jnp.einsum("bct,bt->bc", m, th, precision=_PREC)
         both = (s_prev > 0) & (s_new > 0)
         ratio = jnp.log1p(jnp.where(both, (s_new - s_prev) /
                                     jnp.where(both, s_prev, 1.0), 0.0))

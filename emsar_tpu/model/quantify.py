@@ -81,9 +81,10 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
         # the problem keeps f64 masters; solve() casts to the device dtype
         problem = build_problem(graph, modules, eumaps, read_count,
                                 dtype=np.float64)
+        part = None
         if cfg.solver_mode == "auto":
-            fpkm, blocks = _solve_auto(graph, modules, eumaps, read_count,
-                                       problem, cfg, dtype)
+            fpkm, blocks, part = _solve_auto(graph, modules, eumaps,
+                                             read_count, problem, cfg, dtype)
             ll = float("nan")
         else:
             fpkm, ll, blocks = solve(problem, epsilon=cfg.epsilon,
@@ -109,15 +110,30 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
         np.add.at(ieuma, graph.ct_tids,
                   np.repeat(adj_euma, sizes))
 
-    fpkm_rounds = _make_rounds(problem, fpkm, cfg, dtype)
+    fpkm_rounds = _make_rounds(problem, fpkm, cfg, dtype, part=part,
+                               graph=graph, modules=modules, eumaps=eumaps,
+                               read_count=read_count)
     return QuantResult(fpkm=fpkm, fpkm_rounds=fpkm_rounds, ieuma=ieuma,
                        adj_euma=adj_euma, wf=wf, graph=graph, modules=modules,
                        total_read_count=counts.total_read_count,
                        loglik=ll, em_blocks=blocks)
 
 
-def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
-                 ) -> np.ndarray:
+def _restart_eps(cfg: QuantConfig) -> float:
+    """Restart-round epsilon: the sd column reports manifold spread
+    (O(1-100) FPKM); convergence error contributes O(eps * scale).
+    Measured on the 12k-transcript bench workload, eps 1e-3 vs 1e-4
+    leaves the sd distribution statistically identical (2618 vs 2620
+    transcripts with sd > 1, same max/mean) at half the solve time.
+    Only the default epsilon is loosened: an explicit -e overrides this
+    floor in either direction."""
+    default_eps = type(cfg).__dataclass_fields__["epsilon"].default
+    return 1e-3 if cfg.epsilon == default_eps else cfg.epsilon
+
+
+def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype,
+                 part=None, graph=None, modules=None, eumaps=None,
+                 read_count=None) -> np.ndarray:
     """[num_round, ntid] FPKM rounds: round 0 is the deterministic solve
     (golden-stable), rounds 1..n-1 are random-restart solves whose spread
     across the flat maximizer manifold populates sd.of.FPKM (reference
@@ -128,54 +144,112 @@ def _make_rounds(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
     on round 0's value and their sd is exactly 0 — so restarts solve only
     the edge subset of multi-transcript modules.  The restart epsilon is
     looser than round 0's: the sd column reports manifold spread (orders
-    of magnitude above convergence error)."""
+    of magnitude above convergence error).  When the main solve ran the
+    dense MXU path (``part``), restarts ride the same dense batches
+    (vmapped over rounds) instead of the CSR edge list."""
     if cfg.num_round <= 1:
         return fpkm[None, :].copy()
+    if part is not None:
+        return _make_rounds_dense(problem, fpkm, cfg, dtype, part,
+                                  graph, modules, eumaps, read_count)
+    with phase("restart rounds", cfg.verbose):
+        extra = _csr_restarts(problem, fpkm, cfg, dtype)
+        if extra is None:
+            return np.broadcast_to(fpkm,
+                                   (cfg.num_round, len(fpkm))).copy()
+    return np.concatenate([fpkm[None, :], extra], axis=0)
+
+
+def _csr_restarts(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype
+                  ) -> Optional[np.ndarray]:
+    """Restart rounds on the CSR edge list, restricted to transcripts in
+    multi-transcript modules; [num_round-1, ntid] with round-0 values
+    elsewhere, or None when nothing is multi-transcript."""
     from .solver import SolverProblem, solve_restart_rounds
 
+    # a transcript sits in a multi-transcript module iff some segment
+    # of its module holds >= 2 distinct tids; module connectivity runs
+    # only through shared segments, so direct sharing is equivalent
+    ntid = problem.n_transcripts
+    denom_pos = problem.denom > 0
+    e_cid = problem.edge_cid
+    seg_deg = np.zeros(len(problem.eumaps), dtype=np.int64)
+    np.add.at(seg_deg, e_cid, 1)
+    multi_tid = np.zeros(ntid, dtype=bool)
+    multi_tid[problem.edge_tid[seg_deg[e_cid] >= 2]] = True
+    keep = multi_tid[problem.edge_tid]
+    if not keep.any():
+        return None
+    # compact the segment axis to segments with a kept edge — the
+    # others contribute nothing to the restricted likelihood but would
+    # still cost segment_sum bandwidth every EM iteration
+    seg_used = np.zeros(len(problem.eumaps), dtype=bool)
+    seg_used[problem.edge_cid[keep]] = True
+    new_cid = (np.cumsum(seg_used) - 1).astype(np.int32)
+    sub = SolverProblem(
+        n_transcripts=ntid, edge_cid=new_cid[problem.edge_cid[keep]],
+        edge_tid=problem.edge_tid[keep],
+        edge_mult=problem.edge_mult[keep],
+        eumaps=problem.eumaps[seg_used], reads=problem.reads[seg_used],
+        denom=np.where(multi_tid, problem.denom, 0.0))
+    extra = solve_restart_rounds(
+        sub, cfg.num_round - 1, epsilon=_restart_eps(cfg),
+        max_iters=cfg.max_niter_mle, block_iters=cfg.solver_block_iters,
+        dtype=dtype, seed=cfg.rng_seed if cfg.rng_seed is not None else 0,
+        polish=False)
+    return np.where(multi_tid[None, :] & denom_pos[None, :], extra,
+                    fpkm[None, :])
+
+
+def _make_rounds_dense(problem, fpkm: np.ndarray, cfg: QuantConfig, dtype,
+                       part, graph, modules, eumaps, read_count
+                       ) -> np.ndarray:
+    """Restart rounds riding the dense MXU batches of the main solve:
+    module rows with >= 2 distinct transcripts are re-solved from
+    uniform(0,100) inits, vmapped over rounds with the membership tensor
+    shared; modules the main solve left to the CSR path restart there.
+    Single-transcript modules have a unique maximizer — their rounds are
+    exactly round 0."""
+    import dataclasses as _dc
+
+    from .dense import solve_dense_restarts, subset_batch
+    from .solver import build_problem
+
+    ntid = problem.n_transcripts
+    n_extra = cfg.num_round - 1
+    rounds = np.broadcast_to(fpkm, (n_extra, ntid)).copy()
+    restart_eps = _restart_eps(cfg)
+    seed = cfg.rng_seed if cfg.rng_seed is not None else 0
+    rng = np.random.default_rng(np.uint64(0x5EED_0001) + np.uint64(seed))
     with phase("restart rounds", cfg.verbose):
-        # a transcript sits in a multi-transcript module iff some segment
-        # of its module holds >= 2 distinct tids; module connectivity runs
-        # only through shared segments, so direct sharing is equivalent
-        ntid = problem.n_transcripts
-        denom_pos = problem.denom > 0
-        e_cid = problem.edge_cid
-        seg_deg = np.zeros(len(problem.eumaps), dtype=np.int64)
-        np.add.at(seg_deg, e_cid, 1)
-        multi_tid = np.zeros(ntid, dtype=bool)
-        multi_tid[problem.edge_tid[seg_deg[e_cid] >= 2]] = True
-        keep = multi_tid[problem.edge_tid]
-        if not keep.any():
-            return np.broadcast_to(fpkm, (cfg.num_round, ntid)).copy()
-        # compact the segment axis to segments with a kept edge — the
-        # others contribute nothing to the restricted likelihood but would
-        # still cost segment_sum bandwidth every EM iteration
-        seg_used = np.zeros(len(problem.eumaps), dtype=bool)
-        seg_used[problem.edge_cid[keep]] = True
-        new_cid = (np.cumsum(seg_used) - 1).astype(np.int32)
-        sub = SolverProblem(
-            n_transcripts=ntid, edge_cid=new_cid[problem.edge_cid[keep]],
-            edge_tid=problem.edge_tid[keep],
-            edge_mult=problem.edge_mult[keep],
-            eumaps=problem.eumaps[seg_used], reads=problem.reads[seg_used],
-            denom=np.where(multi_tid, problem.denom, 0.0))
-        # restart epsilon: the sd column reports manifold spread (O(1-100)
-        # FPKM); convergence error contributes O(eps * scale).  Measured on
-        # the 12k-transcript bench workload, eps 1e-3 vs 1e-4 leaves the sd
-        # distribution statistically identical (2618 vs 2620 transcripts
-        # with sd > 1, same max/mean) at half the solve time.  Only the
-        # default epsilon is loosened: an explicit -e overrides this floor
-        # in either direction.
-        default_eps = type(cfg).__dataclass_fields__["epsilon"].default
-        restart_eps = 1e-3 if cfg.epsilon == default_eps else cfg.epsilon
-        extra = solve_restart_rounds(
-            sub, cfg.num_round - 1, epsilon=restart_eps,
-            max_iters=cfg.max_niter_mle, block_iters=cfg.solver_block_iters,
-            dtype=dtype, seed=cfg.rng_seed if cfg.rng_seed is not None else 0,
-            polish=False)
-        extra = np.where(multi_tid[None, :] & denom_pos[None, :], extra,
-                         fpkm[None, :])
-    return np.concatenate([fpkm[None, :], extra], axis=0)
+        if len(part.csr_sids):
+            keep_seg = np.isin(modules.cs, part.csr_sids)
+            modules_csr = _dc.replace(
+                modules, cs=np.where(keep_seg, modules.cs, -1))
+            csr_problem = build_problem(graph, modules_csr, eumaps,
+                                        read_count, dtype=np.float64)
+            extra = _csr_restarts(csr_problem, fpkm, cfg, dtype)
+            if extra is not None:
+                touched = np.zeros(ntid, dtype=bool)
+                touched[csr_problem.edge_tid] = True
+                rounds[:, touched] = extra[:, touched]
+        for batch in part.batches:
+            multi_rows = np.flatnonzero(
+                (batch.tid_map >= 0).sum(axis=1) >= 2)
+            if not len(multi_rows):
+                continue
+            sub = subset_batch(batch, multi_rows)
+            nB, _, T = sub.shape
+            inits = rng.uniform(0.0, 100.0, size=(n_extra, nB, T))
+            inits = np.where(sub.tid_map[None, :, :] >= 0, inits, 0.0)
+            eps = (max(restart_eps, 1e-5)
+                   if np.dtype(sub.eumaps.dtype) == np.float32
+                   else restart_eps)
+            theta = solve_dense_restarts(
+                sub, inits, eps, block_iters=cfg.solver_block_iters)
+            mask = sub.tid_map >= 0
+            rounds[:, sub.tid_map[mask]] = theta[:, mask]
+    return np.concatenate([fpkm[None, :], rounds], axis=0)
 
 
 def _host_loglik(problem, theta: np.ndarray) -> float:
@@ -221,7 +295,7 @@ def _solve_auto(graph, modules, eumaps, read_count, problem, cfg, dtype):
         touched = np.zeros(graph.n_transcripts, dtype=bool)
         touched[csr_problem.edge_tid] = True
         fpkm[touched] = theta.astype(np.float64)[touched]
-    return fpkm, blocks_total
+    return fpkm, blocks_total, part
 
 
 def quantify_samples_batched(index: RshIndex, counts_list, cfg: QuantConfig,
