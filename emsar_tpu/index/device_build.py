@@ -554,19 +554,21 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("M", "V", "nfl", "max_repeat", "U", "C2", "unstranded",
-                     "borderpos", "seqlength", "readlength", "Lp"),
-    donate_argnums=(0,))
-def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
-              chunk_id, d0,
-              M: int, V: int, nfl: int, max_repeat: int, U: int, C2: int,
-              unstranded: bool, borderpos: int, seqlength: int,
-              readlength: int, Lp: int):
-    """One chunk of mate1 clusters: enumerate (member, d) candidates, group
-    by (cluster, mate2-rank), accumulate runs.
+    static_argnames=("M", "V", "nfl", "max_repeat", "unstranded",
+                     "borderpos", "seqlength", "readlength", "Lp"))
+def _pe_expand_sort(RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
+                    d0,
+                    M: int, V: int, nfl: int, max_repeat: int,
+                    unstranded: bool, borderpos: int, seqlength: int,
+                    readlength: int, Lp: int):
+    """One chunk of mate1 clusters: enumerate (member, d) candidates,
+    sort by (cluster, mate2-rank), probe record/member demand.
 
     Reference semantics: process_mate1_cluster_by_mate_3 +
     construct_rshbucket_PE_3 (src/emsar_functions.c:2823-2934, 1902-1974).
+    Returns the sorted (cluster-key, mate2-rank, payload) stream plus
+    (rec_cnt, mult_elems) so the accumulate launch sizes its record and
+    member tables to actual demand (see _se_bucket_sort).
     """
     rl = readlength
     MV = M + V
@@ -613,6 +615,24 @@ def _pe_chunk(state, RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
            | dd[None, :].astype(jnp.uint32)).reshape(-1)
     sck, srk, spay = jax.lax.sort((ckey, rkey, pay), num_keys=2,
                                   is_stable=False)
+    startf = jnp.concatenate([jnp.ones(1, bool),
+                              (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
+    validrow = sck != KEY_PAD
+    j = jnp.arange(MV * nfl, dtype=jnp.int32)
+    _, next_start = _run_bounds(startf)
+    cntr = next_start - j
+    rec = startf & validrow & (cntr > 1) & (cntr < max_repeat)
+    return (sck, srk, spay, jnp.sum(rec, dtype=jnp.int32),
+            jnp.sum(jnp.where(rec, cntr, 0), dtype=jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nfl", "max_repeat", "U", "C2"),
+    donate_argnums=(0, 1, 2, 3))
+def _pe_chunk_accum(state, sck, srk, spay, chunk_id,
+                    nfl: int, max_repeat: int, U: int, C2: int):
+    """Run accumulation over one sorted PE candidate stream (second phase
+    of _pe_expand_sort)."""
     stid = (spay >> jnp.uint32(9)).astype(jnp.int32)
     startf = jnp.concatenate([jnp.ones(1, bool),
                               (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
@@ -646,6 +666,30 @@ def _pad_sorted(S, fill, tail: int):
     the chunked accumulation slices into."""
     return jnp.concatenate([jnp.full(1, fill, S.dtype), S,
                             jnp.full(tail, fill, S.dtype)])
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "V", "max_repeat"))
+def _se_chunk_probe(S1, S2, S3, q0, n_valid, Q: int, V: int,
+                    max_repeat: int):
+    """Record/member demand of the sorted-stream chunk at q0 (the same
+    run-ownership rules as _se_sorted_chunk): (rec_cnt, mult_elems), so
+    the accumulate launch sizes its record/member tables to actual
+    demand instead of the chunk capacity (see _se_bucket_sort)."""
+    Ew = 1 + Q + V
+    j = jnp.arange(Ew, dtype=jnp.int32)
+    s1 = jax.lax.dynamic_slice(S1, (q0,), (Ew,))
+    s2 = jax.lax.dynamic_slice(S2, (q0,), (Ew,))
+    s3 = jax.lax.dynamic_slice(S3, (q0,), (Ew,))
+    diff = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    ownedrun = start & (j >= 1) & (j <= Q)
+    my_start, next_start = _run_bounds(start)
+    valid = (q0 + j) <= n_valid
+    rv = ownedrun[jnp.clip(my_start, 0, Ew - 1)] & valid
+    cntr = next_start - j
+    rec = start & rv & (cntr > 1) & (cntr < max_repeat)
+    return (jnp.sum(rec, dtype=jnp.int32),
+            jnp.sum(jnp.where(rec, cntr, 0), dtype=jnp.int32))
 
 
 @functools.partial(
@@ -842,15 +886,20 @@ def _scatter_one(src, dst, out_size: int):
     return jnp.zeros(out_size, src.dtype).at[dst].set(src, mode="drop")
 
 
-@functools.partial(
-    jax.jit, static_argnames=("Bcap", "nfl", "max_repeat", "U", "C2"),
-    donate_argnums=(0,))
-def _se_hash_bucket_launch(state, P1, P2, P3, PT, off_b, cnt_b, fl_ind,
-                           chunk_id, Bcap: int, nfl: int, max_repeat: int,
-                           U: int, C2: int):
-    """One partitioned bucket: contiguous slice -> 4-operand sort ->
-    run accumulation.  Rows beyond cnt_b get all-ones keys so they sort
-    last (a real window aliasing the all-ones 96-bit hash is ~2^-96)."""
+@functools.partial(jax.jit, static_argnames=("Bcap", "max_repeat"),
+                   donate_argnums=())
+def _se_bucket_sort(P1, P2, P3, PT, off_b, cnt_b, Bcap: int,
+                    max_repeat: int):
+    """Sort one partitioned bucket and probe its record/member demand.
+
+    Rows beyond cnt_b get all-ones keys so they sort last (a real window
+    aliasing the all-ones 96-bit hash is ~2^-96).  Returns the sorted
+    payload plus (rec_cnt, mult_elems): the number of multi runs below
+    max_repeat and the total elements they hold — the accumulate kernel's
+    record/member tables are then sized to the actual demand instead of
+    the bucket capacity (the U/C2-scale claim and extraction ops dominate
+    a full-capacity launch ~5x; tools/microbench measured 4.4s -> 0.8s at
+    Bcap=12.6M with U,C2=1M)."""
     j = jnp.arange(Bcap, dtype=jnp.int32)
     valid = j < cnt_b
     h1 = jnp.where(valid, jax.lax.dynamic_slice(P1, (off_b,), (Bcap,)),
@@ -864,9 +913,28 @@ def _se_hash_bucket_launch(state, P1, P2, P3, PT, off_b, cnt_b, fl_ind,
                                     is_stable=False)
     diff = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
     startf = jnp.concatenate([jnp.ones(1, bool), diff])
+    _, next_start = _run_bounds(startf)
+    cntr = next_start - j
+    rec = startf & valid & (cntr > 1) & (cntr < max_repeat)
+    rec_cnt = jnp.sum(rec, dtype=jnp.int32)
+    mult_elems = jnp.sum(jnp.where(rec, cntr, 0), dtype=jnp.int32)
+    return s1, s2, s3, stid, rec_cnt, mult_elems
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Bcap", "nfl", "max_repeat", "U", "C2"),
+    donate_argnums=(0, 1, 2, 3, 4))
+def _se_bucket_accum(state, S1, S2, S3, ST, cnt_b, fl_ind,
+                     chunk_id, Bcap: int, nfl: int, max_repeat: int,
+                     U: int, C2: int):
+    """Run accumulation over one sorted bucket (second phase of
+    _se_bucket_sort; the run-start recompute is 3 compares)."""
+    j = jnp.arange(Bcap, dtype=jnp.int32)
+    diff = (S1[1:] != S1[:-1]) | (S2[1:] != S2[:-1]) | (S3[1:] != S3[:-1])
+    startf = jnp.concatenate([jnp.ones(1, bool), diff])
     validrow = j < cnt_b  # invalid rows sort to the tail
     d_ind = jnp.full(Bcap, fl_ind, dtype=jnp.int32)
-    return _postsort_accumulate(state, startf, validrow, d_ind, stid,
+    return _postsort_accumulate(state, startf, validrow, d_ind, ST,
                                 jnp.int32(0), nfl, max_repeat, U, C2,
                                 chunk_id=chunk_id)
 
@@ -1244,7 +1312,7 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     if rl > 1024:
         raise DeviceBuildUnsupported("readlength > 1024")
     if tx.n_transcripts >= 1 << 23:
-        # (tid, d) pack into one uint32 sort payload in _pe_chunk
+        # (tid, d) pack into one uint32 sort payload in _pe_expand_sort
         raise DeviceBuildUnsupported("n_transcripts >= 2^23")
     stranded = cfg.strand.stranded
     n_fw = int(tx.borderpos) - rl + 1
@@ -1283,33 +1351,42 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     import os as _os
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    U = min(1 << 22, E, caps["TABCAP"] // 4)
-    C2 = min(1 << 19, E, caps["MEMCAP"] // 8)
-    # sync cadence: keep the dispatch pipeline deep, but the record table
-    # must absorb `maintain_every` worst-case appends past its fold
-    # trigger and the member buffer the same past its drain threshold
-    # (MEMCAP/2 + maintain_every*C2 <= MEMCAP - C2)
-    maintain_every = max(1, min(caps["TABCAP"] // (4 * U),
-                                caps["MEMCAP"] // (2 * C2) - 1))
     with phase("PE dev: expansion", cfg.verbose):
         d0 = fl_min - rl
         import time as _time
+
+        def expand(k):
+            return _pe_expand_sort(
+                RW, RF32, T32, ref.nsep, m1pos_ext, m1rank_ext,
+                jnp.int32(1 + k * M), jnp.int32(d0),
+                M=M, V=V, nfl=nfl, max_repeat=int(cfg.max_repeat),
+                unstranded=two, borderpos=int(tx.borderpos),
+                seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
+
+        # depth-2 software pipeline: chunk k+1's expansion is dispatched
+        # before chunk k's probe counters are fetched, so the device keeps
+        # working through the host round trip
+        pending = expand(0) if n_chunks else None
         for k in range(n_chunks):
             if profile:
                 t0 = _time.perf_counter()
-            state = _pe_chunk(
-                state, RW, RF32, T32, ref.nsep, m1pos_ext, m1rank_ext,
-                jnp.int32(1 + k * M), jnp.int32(k), jnp.int32(d0),
-                M=M, V=V, nfl=nfl, max_repeat=int(cfg.max_repeat),
-                U=U, C2=C2, unstranded=two,
-                borderpos=int(tx.borderpos), seqlength=int(tx.seqlength),
-                readlength=rl, Lp=ref.Lp)
-            if (k + 1) % maintain_every == 0 and k + 1 < n_chunks:
-                state, drained = _maintain(state, caps, drained, U, C2)
+            nxt = expand(k + 1) if k + 1 < n_chunks else None
+            sck, srk, spay, rc_d, me_d = pending
+            rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
+            Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), E,
+                     caps["TABCAP"] // 4)
+            C2k = min(max(_next_pow2(me_i + 64), 1 << 12), E,
+                      caps["MEMCAP"] // 2)
+            state = _pe_chunk_accum(
+                state, sck, srk, spay, jnp.int32(k), nfl=nfl,
+                max_repeat=int(cfg.max_repeat), U=Uk, C2=C2k)
+            del sck, srk, spay
+            state, drained = _maintain(state, caps, drained, Uk, C2k)
+            pending = nxt
             if profile:
-                np.asarray(state["flags"])
                 print(f"[profile] chunk {k}: "
-                      f"{_time.perf_counter() - t0:.3f}s", flush=True)
+                      f"{_time.perf_counter() - t0:.3f}s "
+                      f"rec={rc_i} mem={me_i}", flush=True)
 
     with phase("PE dev: finalize", cfg.verbose):
         return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max,
@@ -1388,19 +1465,26 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                 S3 = _pad_sorted(S3, jnp.uint32(0xFFFFFFFF), tail=Q + V)
                 ST = _pad_sorted(ST, jnp.int32(0), tail=Q + V)
                 _psync(ST)
-            U = min(Q + V + 1, caps["TABCAP"] // 4)
-            C2 = min(Q + V + 1, caps["MEMCAP"] // 2)
             n_chunks = max(-(-n0pad // Q), 1)
             with phase(f"SE dev: l{l} accumulate ({n_chunks} chunks)",
                        cfg.verbose):
                 for k in range(n_chunks):
+                    rc_d, me_d = _se_chunk_probe(
+                        S1, S2, S3, jnp.int32(k * Q), jnp.int32(n_valid),
+                        Q=Q, V=V, max_repeat=int(cfg.max_repeat))
+                    rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
+                    Uk = min(max(_next_pow2(rc_i + 64), 1 << 12),
+                             Q + V + 1, caps["TABCAP"] // 4)
+                    C2k = min(max(_next_pow2(me_i + 64), 1 << 12),
+                              Q + V + 1, caps["MEMCAP"] // 2)
                     state = _se_sorted_chunk(
                         state, S1, S2, S3, ST, jnp.int32(k * Q),
                         jnp.int32(l - lmin), jnp.int32(chunk_id),
                         jnp.int32(n_valid), Q=Q, V=V, nfl=nfl,
-                        max_repeat=int(cfg.max_repeat), U=U, C2=C2)
+                        max_repeat=int(cfg.max_repeat), U=Uk, C2=C2k)
                     chunk_id += 1
-                    state, drained = _maintain(state, caps, drained, U, C2)
+                    state, drained = _maintain(state, caps, drained, Uk,
+                                               C2k)
             del S1, S2, S3, ST
             continue
         while True:  # escalation: only giant equal-window runs resist
@@ -1446,22 +1530,32 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
             PT = _scatter_one(TD, dst, out_size=out_size)
             del TD, dst
             _psync(PT)
-        U = min(Bcap, caps["TABCAP"] // 4)
-        # one launch may extract up to a whole bucket's members; _maintain
-        # drains past MEMCAP/2 after every launch, so MEMCAP/2 headroom is
-        # always available
-        C2 = min(Bcap, caps["MEMCAP"] // 2)
         with phase(f"SE dev: l{l} {B} buckets (cap {Bcap})", cfg.verbose):
             for b in range(B):
                 if counts[b] == 0:
                     continue
-                state = _se_hash_bucket_launch(
-                    state, P1, P2, P3, PT, jnp.int32(int(off[b])),
-                    jnp.int32(int(counts[b])), jnp.int32(l - lmin),
-                    jnp.int32(chunk_id), Bcap=Bcap, nfl=nfl,
-                    max_repeat=int(cfg.max_repeat), U=U, C2=C2)
+                S1, S2, S3, ST, rc_d, me_d = _se_bucket_sort(
+                    P1, P2, P3, PT, jnp.int32(int(off[b])),
+                    jnp.int32(int(counts[b])), Bcap=Bcap,
+                    max_repeat=int(cfg.max_repeat))
+                # exact record/member demand, pow2-quantized: the claim
+                # and extraction ops run at this scale, and sizing them
+                # to the bucket capacity cost ~5x (see _se_bucket_sort)
+                rc_i = int(np.asarray(rc_d))
+                me_i = int(np.asarray(me_d))
+                Ub = min(max(_next_pow2(rc_i + 64), 1 << 12), Bcap,
+                         caps["TABCAP"] // 4)
+                # _maintain drains past MEMCAP/2 after every launch, so
+                # MEMCAP/2 headroom is always available
+                C2b = min(max(_next_pow2(me_i + 64), 1 << 12), Bcap,
+                          caps["MEMCAP"] // 2)
+                state = _se_bucket_accum(
+                    state, S1, S2, S3, ST, jnp.int32(int(counts[b])),
+                    jnp.int32(l - lmin), jnp.int32(chunk_id), Bcap=Bcap,
+                    nfl=nfl, max_repeat=int(cfg.max_repeat), U=Ub, C2=C2b)
+                del S1, S2, S3, ST
                 chunk_id += 1
-                state, drained = _maintain(state, caps, drained, U, C2)
+                state, drained = _maintain(state, caps, drained, Ub, C2b)
         del P1, P2, P3, PT
 
     with phase("SE dev: finalize", cfg.verbose):
