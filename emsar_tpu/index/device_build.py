@@ -864,8 +864,7 @@ def _radix_rank_step(RANK, H1, TD, b, kbits: int):
     return jnp.where(m, r, RANK), jnp.sum(m, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("kbits", "out_size"),
-                   donate_argnums=(2,))
+@functools.partial(jax.jit, static_argnames=("kbits", "out_size"))
 def _radix_dst(H1, TD, RANK, off, kbits: int, out_size: int):
     """Bucket-major destination of every row (invalid rows land at
     out_size and are dropped).  ``out_size`` is padded past the last
@@ -876,13 +875,14 @@ def _radix_dst(H1, TD, RANK, off, kbits: int, out_size: int):
                      out_size)
 
 
-@functools.partial(jax.jit, static_argnames=("out_size",),
-                   donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("out_size",))
 def _scatter_one(src, dst, out_size: int):
     """One payload operand into bucket-major order.  Sequential
-    per-operand programs (source donated) keep the partition's peak to
-    ~1 operand extra; a single 8-array program held every input AND
-    output live at once — 11+ GB at human scale."""
+    per-operand programs (each source deleted by the caller right after
+    its scatter) keep the partition's peak to ~1 operand extra; a single
+    8-array program held every input AND output live at once — 11+ GB at
+    human scale.  (No donation: out_size > the source shape, so aliasing
+    is impossible and the annotation only warns.)"""
     return jnp.zeros(out_size, src.dtype).at[dst].set(src, mode="drop")
 
 
@@ -1381,7 +1381,8 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                 state, sck, srk, spay, jnp.int32(k), nfl=nfl,
                 max_repeat=int(cfg.max_repeat), U=Uk, C2=C2k)
             del sck, srk, spay
-            state, drained = _maintain(state, caps, drained, Uk, C2k)
+            state, drained = _maintain(state, caps, drained,
+                                       caps["TABCAP"] // 4, C2k)
             pending = nxt
             if profile:
                 print(f"[profile] chunk {k}: "
@@ -1483,8 +1484,8 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                         jnp.int32(n_valid), Q=Q, V=V, nfl=nfl,
                         max_repeat=int(cfg.max_repeat), U=Uk, C2=C2k)
                     chunk_id += 1
-                    state, drained = _maintain(state, caps, drained, Uk,
-                                               C2k)
+                    state, drained = _maintain(state, caps, drained,
+                                               caps["TABCAP"] // 4, C2k)
             del S1, S2, S3, ST
             continue
         while True:  # escalation: only giant equal-window runs resist
@@ -1555,7 +1556,8 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                     nfl=nfl, max_repeat=int(cfg.max_repeat), U=Ub, C2=C2b)
                 del S1, S2, S3, ST
                 chunk_id += 1
-                state, drained = _maintain(state, caps, drained, Ub, C2b)
+                state, drained = _maintain(state, caps, drained,
+                                           caps["TABCAP"] // 4, C2b)
         del P1, P2, P3, PT
 
     with phase("SE dev: finalize", cfg.verbose):
@@ -1566,7 +1568,11 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
 def _maintain(state, caps, drained, U, C2):
     """Per-launch maintenance (one small sync): abort on overflow flags,
     fold the record table when the next launch might not fit, drain
-    exemplar members to the host past half capacity."""
+    exemplar members to the host past half capacity.
+
+    ``U`` must bound the NEXT launch's record demand, which is unknown
+    under demand sizing — callers pass the worst case (TABCAP/4), so the
+    fold triggers whenever tab_n passes TABCAP/2."""
     scal = np.asarray(jnp.stack([state["mem_n"], state["tab_n"],
                                  state["flags"][0], state["flags"][1]]))
     if scal[2] or scal[3]:
