@@ -179,10 +179,50 @@ def _run_sum_at_start(vals, next_start):
 # --------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("Lp", "borderpos", "out_pk", "out_bb"))
+def _mirror_ref_dev(fwp, fwbb, Lp: int, borderpos: int, out_pk: int,
+                    out_bb: int):
+    """Full packed-code and bad-bit tables from the forward half only.
+
+    Layout (io/fasta.py, reference read_raw_fasta semantics): positions
+    [0, borderpos) are the fw transcripts ('@'-joined), borderpos is the
+    central '$', [borderpos+1, 2*borderpos+1) the reverse complement of
+    the fw half, 2*borderpos+1 the final '$'.  Code-wise the rc half is
+    flip(fw) ^ 3 (complement; non-ACGT positions are garbage either way
+    and masked by the mirrored bad bits)."""
+    B1 = borderpos + 1
+    B1p = _pad_to(B1, 256)
+    i = jnp.arange(B1p, dtype=jnp.int32)
+    b = jnp.repeat(fwp[:B1p // 4].astype(jnp.uint8), 4)
+    cfw = (b >> (6 - 2 * (i & 3)).astype(jnp.uint8)) & 3
+    b8 = jnp.repeat(fwbb[:B1p // 8].astype(jnp.uint8), 8)
+    badfw = ((b8 >> (7 - (i & 7)).astype(jnp.uint8)) & 1).astype(bool)
+    rc = jnp.flip(cfw[:borderpos]) ^ jnp.uint8(3)
+    rcb = jnp.flip(badfw[:borderpos])
+    tail = Lp - B1 - borderpos
+    cfull = jnp.concatenate([cfw[:B1], rc,
+                             jnp.zeros(tail, jnp.uint8)])
+    badfull = jnp.concatenate([badfw[:B1], rcb,
+                               jnp.ones(tail, bool)])
+    c4 = cfull.reshape(Lp // 4, 4)
+    pk = ((c4[:, 0] << 6) | (c4[:, 1] << 4) | (c4[:, 2] << 2)
+          | c4[:, 3]).astype(jnp.uint8)
+    bt = badfull.reshape(Lp // 8, 8).astype(jnp.uint8)
+    bb = bt[:, 0]
+    for k in range(1, 8):
+        bb = (bb << 1) | bt[:, k]
+    pko = jax.lax.dynamic_update_slice(jnp.zeros(out_pk, jnp.uint8), pk,
+                                       (0,))
+    bbo = jax.lax.dynamic_update_slice(
+        jnp.full(out_bb, 0xFF, jnp.uint8), bb, (0,))
+    return pko, bbo
+
+
 class DeviceRef:
     """Device-resident transcriptome: packed 2-bit codes -> P16 key array,
-    non-ACGT prefix counts, cuml.  Upload is 2.25 bits/base (the tunnel is
-    the bottleneck, ~22 MB/s h2d)."""
+    non-ACGT prefix counts, cuml.  Upload is ~1.3 bits/base (fw half
+    only; the tunnel is the bottleneck)."""
 
     def __init__(self, tx: Transcriptome):
         self.tx = tx
@@ -190,21 +230,32 @@ class DeviceRef:
         self.L = L
         Lp = _pad_to(L + 64, 256)
         self.Lp = Lp
+        borderpos = int(tx.borderpos)
         codes = tx.codes
-        packed = np.zeros(_quantize_size(Lp // 4 + 8), dtype=np.uint8)
-        c = np.zeros(Lp, dtype=np.uint8)
-        c[:L] = codes & 3
-        packed[:Lp // 4] |= c[0::4] << 6
-        packed[:Lp // 4] |= c[1::4] << 4
-        packed[:Lp // 4] |= c[2::4] << 2
-        packed[:Lp // 4] |= c[3::4]
-        badbits = np.zeros(Lp, dtype=bool)
-        badbits[:L] = codes >= 4
-        badbits[L:] = True
-        bb = np.full(_quantize_size(Lp // 8), 0xFF, dtype=np.uint8)
-        bb[:Lp // 8] = np.packbits(badbits)
-        self._packed = jnp.asarray(packed)
-        self._badbits = jnp.asarray(bb)
+        # ship only the forward half (plus the central '$'): the rc half
+        # is flip(fw) ^ 3 code-wise (io/fasta.py layout f..$..rc$) and is
+        # mirrored on device (_mirror_ref_dev) — halves both the host
+        # packing work and the h2d bytes, and the tunnel is the
+        # bottleneck (h2d has been measured anywhere from 22 MB/s down
+        # to <1 MB/s under congestion)
+        B1 = borderpos + 1
+        B1p = _pad_to(B1, 256)
+        cfw = np.zeros(B1p, dtype=np.uint8)
+        cfw[:B1] = codes[:B1] & 3
+        fwp = np.zeros(_quantize_size(B1p // 4 + 8), dtype=np.uint8)
+        fwp[:B1p // 4] |= cfw[0::4] << 6
+        fwp[:B1p // 4] |= cfw[1::4] << 4
+        fwp[:B1p // 4] |= cfw[2::4] << 2
+        fwp[:B1p // 4] |= cfw[3::4]
+        fwbad = np.zeros(B1p, dtype=bool)
+        fwbad[:B1] = codes[:B1] >= 4
+        fwbad[B1:] = True
+        fb = np.full(_quantize_size(B1p // 8), 0xFF, dtype=np.uint8)
+        fb[:B1p // 8] = np.packbits(fwbad)
+        self._packed, self._badbits = _mirror_ref_dev(
+            jnp.asarray(fwp), jnp.asarray(fb), Lp=Lp, borderpos=borderpos,
+            out_pk=_quantize_size(Lp // 4 + 8),
+            out_bb=_quantize_size(Lp // 8))
         sepbits = np.zeros(Lp, dtype=bool)
         sepbits[:L] = (tx.seq[:L] == ord("@")) | (tx.seq[:L] == ord("$"))
         sepbits[L:] = True

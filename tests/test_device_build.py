@@ -118,3 +118,46 @@ def test_small_chunk_budget_pe(tmp_path):
     cfg.pe_chunk_candidates = 1 << 12  # force many chunks
     small = build_pe_index(tx, 16, cfg, backend="device")
     assert _text(big, tmp_path, "b.rsh") == _text(small, tmp_path, "s.rsh")
+
+
+def test_device_ref_mirror_matches_host_pack():
+    """DeviceRef ships the fw half only and mirrors the rc half on device
+    (_mirror_ref_dev); the resulting packed-code and bad-bit tables must
+    equal a direct host pack of the full code array."""
+    from emsar_tpu.index.device_build import (DeviceRef, _pad_to,
+                                              _quantize_size)
+
+    rng = np.random.default_rng(77)
+    names, seqs = random_transcriptome(rng, 15, min_len=40, max_len=300,
+                                       n_frac=0.05, shared_frac=0.3)
+    tx = build_transcriptome(names, seqs)
+    ref = DeviceRef(tx)
+
+    L = int(tx.seqlength) + 1
+    Lp = _pad_to(L + 64, 256)
+    codes = tx.codes
+    c = np.zeros(Lp, dtype=np.uint8)
+    c[:L] = codes & 3
+    packed = np.zeros(_quantize_size(Lp // 4 + 8), dtype=np.uint8)
+    packed[:Lp // 4] |= c[0::4] << 6
+    packed[:Lp // 4] |= c[1::4] << 4
+    packed[:Lp // 4] |= c[2::4] << 2
+    packed[:Lp // 4] |= c[3::4]
+    badbits = np.zeros(Lp, dtype=bool)
+    badbits[:L] = codes >= 4
+    badbits[L:] = True
+    bb = np.full(_quantize_size(Lp // 8), 0xFF, dtype=np.uint8)
+    bb[:Lp // 8] = np.packbits(badbits)
+
+    got_pk = np.asarray(ref._packed)
+    got_bb = np.asarray(ref._badbits)
+    # codes of bad positions are garbage on both sides — compare under
+    # the bad mask at 2-bit granularity
+    bad4 = badbits.reshape(-1, 4)
+    mask = np.zeros(len(packed), dtype=np.uint8)
+    m4 = np.where(bad4, 0, np.uint8(3))
+    mask[:Lp // 4] = (m4[:, 0] << 6) | (m4[:, 1] << 4) | (m4[:, 2] << 2) \
+        | m4[:, 3]
+    np.testing.assert_array_equal(got_pk[:Lp // 4] & mask[:Lp // 4],
+                                  packed[:Lp // 4] & mask[:Lp // 4])
+    np.testing.assert_array_equal(got_bb[:Lp // 8], bb[:Lp // 8])
