@@ -205,13 +205,14 @@ def _mirror_ref_dev(fwp, fwbb, Lp: int, borderpos: int, out_pk: int,
                              jnp.zeros(tail, jnp.uint8)])
     badfull = jnp.concatenate([badfw[:B1], rcb,
                                jnp.ones(tail, bool)])
-    c4 = cfull.reshape(Lp // 4, 4)
-    pk = ((c4[:, 0] << 6) | (c4[:, 1] << 4) | (c4[:, 2] << 2)
-          | c4[:, 3]).astype(jnp.uint8)
-    bt = badfull.reshape(Lp // 8, 8).astype(jnp.uint8)
-    bb = bt[:, 0]
+    # flat strided slices, NOT reshape(N, 4): a narrow trailing dim pads
+    # to the 128-lane tile on TPU (u8[N,4] would allocate 32x its size)
+    pk = ((cfull[0::4] << 6) | (cfull[1::4] << 4) | (cfull[2::4] << 2)
+          | cfull[3::4]).astype(jnp.uint8)
+    bfu = badfull.astype(jnp.uint8)
+    bb = bfu[0::8]
     for k in range(1, 8):
-        bb = (bb << 1) | bt[:, k]
+        bb = (bb << 1) | bfu[k::8]
     pko = jax.lax.dynamic_update_slice(jnp.zeros(out_pk, jnp.uint8), pk,
                                        (0,))
     bbo = jax.lax.dynamic_update_slice(
@@ -603,6 +604,106 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
 # --------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _pe_partition_clusters(SP, RANK, n_valid):
+    """Split the rank-sorted mate1 stream into singleton-cluster and
+    multi-cluster positions (order-preserving compaction).
+
+    Singleton clusters — mate1 windows occurring exactly once — cannot
+    form multi-element fragment runs across members, so their candidates
+    never need the global (cluster, mate2-rank) sort: every fragment run
+    lies within one row of nfl candidates and is resolved by a row-local
+    duplicate-rank test (_pe_single_chunk).  Only multi clusters enter
+    the expansion chunks.  Returns (SPs, RKs, SPm, RKm, ns, nm)."""
+    N = SP.shape[0]
+    j = jnp.arange(N, dtype=jnp.int32)
+    valid = j < n_valid
+    start = jnp.concatenate([jnp.ones(1, bool), RANK[1:] != RANK[:-1]])
+    my_s, nxt_s = _run_bounds(start)
+    size = nxt_s[jnp.clip(my_s, 0, N - 1)] - my_s
+    single = valid & (size == 1)
+    multi = valid & (size >= 2)
+    ns = jnp.sum(single, dtype=jnp.int32)
+    nm = jnp.sum(multi, dtype=jnp.int32)
+    dst_s = jnp.where(single, jnp.cumsum(single.astype(jnp.int32)) - 1, N)
+    dst_m = jnp.where(multi, jnp.cumsum(multi.astype(jnp.int32)) - 1, N)
+    SPs = jnp.full(N, -1, jnp.int32).at[dst_s].set(SP, mode="drop",
+                                                   unique_indices=True)
+    RKs = jnp.full(N, BIG_RANK, jnp.int32).at[dst_s].set(
+        RANK, mode="drop", unique_indices=True)
+    SPm = jnp.full(N, -1, jnp.int32).at[dst_m].set(SP, mode="drop",
+                                                   unique_indices=True)
+    RKm = jnp.full(N, BIG_RANK, jnp.int32).at[dst_m].set(
+        RANK, mode="drop", unique_indices=True)
+    return SPs, RKs, SPm, RKm, ns, nm
+
+
+def _pe_cvalid(mpos, mrank, RW, RF32, T32, NS, d0, nfl: int,
+               unstranded: bool, borderpos: int, seqlength: int,
+               readlength: int, Lp: int):
+    """Shared candidate-validity math for one block of mate1 positions:
+    returns (cvalid [n, nfl], rw [n, nfl], tidm [n]).  Reference
+    semantics: the d-loop guards of process_mate1_cluster_by_mate_3
+    (src/emsar_functions.c:2854-2872) and the unstranded canonical pair
+    orientation (:2863-2869) on ranks."""
+    rl = readlength
+    mposc = jnp.clip(mpos, 0, Lp - nfl - rl - 2)
+    base = mposc + d0
+    dd = jnp.arange(nfl, dtype=jnp.int32)
+    cand = mpos[:, None] + d0 + dd[None, :]
+    rw = RW[base[:, None] + dd[None, :]]
+    in_range = cand <= seqlength - rl
+    tidm = T32[mposc]
+    dmax_m = NS[mposc] - rl - mpos
+    cvalid = (in_range & (rw != KEY_PAD)
+              & ((d0 + dd)[None, :] <= dmax_m[:, None]))
+    if unstranded:
+        rf = RF32[base[:, None] + dd[None, :]]
+        rfp = RF32[mposc]
+        cmp1 = jnp.sign(mrank[:, None] - rf).astype(jnp.int8)
+        cmp2 = jnp.sign(rw.astype(jnp.int32) - rfp[:, None]).astype(jnp.int8)
+        cmp = jnp.where(cmp1 != 0, cmp1, cmp2)
+        keep = jnp.where(mpos[:, None] < borderpos, cmp <= 0, cmp < 0)
+        cvalid = cvalid & keep
+    return cvalid, rw, tidm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Ss", "nfl", "unstranded", "borderpos", "seqlength",
+                     "readlength", "Lp"),
+    donate_argnums=(0,))
+def _pe_single_chunk(dense_s, SPs, RKs, RW, RF32, T32, NS, start, d0,
+                     Ss: int, nfl: int, unstranded: bool, borderpos: int,
+                     seqlength: int, readlength: int, Lp: int):
+    """Candidates of one block of singleton-cluster mate1 positions.
+
+    Every fragment run here lies within one row: a run of size >= 2
+    means the same mate2 rank at >= 2 distinct d — exactly the
+    reference's multi_d drop (src/emsar_functions.c:1926) — so the
+    row-local duplicate-rank test replaces the global sort, and each
+    surviving candidate is a size-1 run: dense_s[tid, d] += 1."""
+    mpos = jax.lax.dynamic_slice(SPs, (start,), (Ss,))
+    mrank = jax.lax.dynamic_slice(RKs, (start,), (Ss,))
+    pvalid = mpos >= 0
+    cvalid, rw, tidm = _pe_cvalid(mpos, mrank, RW, RF32, T32, NS, d0,
+                                  nfl, unstranded, borderpos, seqlength,
+                                  readlength, Lp)
+    cvalid = cvalid & pvalid[:, None]
+    dd = jnp.arange(nfl, dtype=jnp.int32)
+    rwk = jnp.where(cvalid, rw, KEY_PAD)
+    srw, sd = jax.lax.sort((rwk, jnp.broadcast_to(dd[None, :], rwk.shape)),
+                           num_keys=1, dimension=1, is_stable=False)
+    eq_prev = jnp.concatenate(
+        [jnp.zeros((Ss, 1), bool), srw[:, 1:] == srw[:, :-1]], axis=1)
+    eq_next = jnp.concatenate(
+        [srw[:, 1:] == srw[:, :-1], jnp.zeros((Ss, 1), bool)], axis=1)
+    keep = (srw != KEY_PAD) & ~(eq_prev | eq_next)
+    flat = jnp.where(keep, tidm[:, None] * nfl + sd,
+                     dense_s.shape[0]).reshape(-1)
+    return dense_s.at[flat].add(1, mode="drop")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("M", "V", "nfl", "max_repeat", "unstranded",
@@ -632,29 +733,11 @@ def _pe_expand_sort(RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
     my_cs, _ = _run_bounds(cstart)
     owned = (cstart & (j < M))[jnp.clip(my_cs, 0, None)] & mvalid
 
-    mposc = jnp.clip(mpos, 0, Lp - nfl - rl - 2)
-    base = mposc + d0
+    cvalid, rw, tidm = _pe_cvalid(mpos, mrank, RW, RF32, T32, NS, d0,
+                                  nfl, unstranded, borderpos, seqlength,
+                                  readlength, Lp)
+    cvalid = cvalid & owned[:, None]
     dd = jnp.arange(nfl, dtype=jnp.int32)
-    cand = mpos[:, None] + d0 + dd[None, :]
-    rw = RW[base[:, None] + dd[None, :]]
-    in_range = cand <= seqlength - rl
-    # same segment: the mate2 window must not reach past the next '@'/'$'
-    # separator (which also bars jumping into the next transcript or the
-    # rc half; reference tid + border checks, :2854-2872)
-    tidm = T32[mposc]
-    dmax_m = NS[mposc] - rl - mpos
-    cvalid = (owned[:, None] & in_range & (rw != KEY_PAD)
-              & ((d0 + dd)[None, :] <= dmax_m[:, None]))
-
-    if unstranded:
-        # canonical pair orientation on ranks (reference :2863-2869)
-        rf = RF32[base[:, None] + dd[None, :]]
-        rfp = RF32[mposc]
-        cmp1 = jnp.sign(mrank[:, None] - rf).astype(jnp.int8)
-        cmp2 = jnp.sign(rw.astype(jnp.int32) - rfp[:, None]).astype(jnp.int8)
-        cmp = jnp.where(cmp1 != 0, cmp1, cmp2)
-        keep = jnp.where(mpos[:, None] < borderpos, cmp <= 0, cmp < 0)
-        cvalid = cvalid & keep
 
     ckey = jnp.where(cvalid, jnp.broadcast_to(
         mrank.astype(jnp.uint32)[:, None], (MV, nfl)), KEY_PAD).reshape(-1)
@@ -1377,6 +1460,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     spos, rank, maxcl_i, nvalid_i, R = _pe_rank_hashsort(tx, ref, rl, two,
                                                          cfg)
 
+    with phase("PE dev: cluster partition", cfg.verbose):
+        SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
+            spos, rank, jnp.int32(nvalid_i))
+        ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
+
     V = _next_pow2(max(maxcl_i + 1, 8))
     if V * nfl * 2 > max(int(cfg.pe_chunk_candidates), 4 * nfl):
         raise DeviceBuildUnsupported(
@@ -1384,16 +1472,16 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
             f"budget than pe_chunk_candidates={cfg.pe_chunk_candidates}")
     # chunk budget scales down to the problem so tiny builds stay tiny
     e_target = max(min(int(cfg.pe_chunk_candidates),
-                       _next_pow2(Npos * nfl)),
+                       _next_pow2(max(nm_i, 1) * nfl)),
                    2 * V * nfl, 4 * nfl)
     MV = max(2 * V, e_target // nfl)
     M = MV - V
     E = MV * nfl
-    n_chunks = max((nvalid_i + M - 1) // M, 1)
+    n_chunks = (nm_i + M - 1) // M
 
     with phase("PE dev: prep", cfg.verbose):
         m1pos_ext, m1rank_ext, RW, RF32 = _pe_prep(
-            spos, rank, R, MV=MV, Lp=ref.Lp,
+            SPm, RKm, R, MV=MV, Lp=ref.Lp,
             nv=int(tx.seqlength) - rl + 1, two=two)
         T32 = ref.t32(rl)
         caps = _caps(Npos * nfl, tx.n_transcripts, nfl)
@@ -1402,8 +1490,30 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     import os as _os
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    d0 = fl_min - rl
+
+    # singleton-cluster pass: the (usually large) majority of mate1
+    # positions resolve without the global candidate sort
+    Ss = MV
+    n_schunks = (ns_i + Ss - 1) // Ss
+    dense_s = jnp.zeros(tx.n_transcripts * nfl, jnp.int32)
+    with phase(f"PE dev: singleton pass ({ns_i} pos, {n_schunks} chunks)",
+               cfg.verbose):
+        if n_schunks:
+            # slice pad so the last chunk never clamps back over earlier
+            # rows (which would double-count them)
+            SPs = jnp.concatenate([SPs, jnp.full(Ss, -1, jnp.int32)])
+            RKs = jnp.concatenate([RKs, jnp.full(Ss, BIG_RANK, jnp.int32)])
+        for k in range(n_schunks):
+            dense_s = _pe_single_chunk(
+                dense_s, SPs, RKs, RW, RF32, T32, ref.nsep,
+                jnp.int32(k * Ss), jnp.int32(d0), Ss=Ss, nfl=nfl,
+                unstranded=two, borderpos=int(tx.borderpos),
+                seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
+        del SPs, RKs
+        _psync(dense_s)
+
     with phase("PE dev: expansion", cfg.verbose):
-        d0 = fl_min - rl
         import time as _time
 
         def expand(k):
@@ -1441,6 +1551,8 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                       f"rec={rc_i} mem={me_i}", flush=True)
 
     with phase("PE dev: finalize", cfg.verbose):
+        state = dict(state)
+        state["dense"] = state["dense"] + dense_s  # singleton-pass merge
         return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max,
                               drained=drained)
 

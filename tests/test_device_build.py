@@ -9,7 +9,7 @@ from emsar_tpu.config import BuildConfig, StrandType
 from emsar_tpu.index.build import build_pe_index, build_se_index
 from emsar_tpu.index import device_build
 from emsar_tpu.io.fasta import build_transcriptome
-from tests.util import random_transcriptome
+from tests.util import random_transcriptome, run_ref_build, write_fasta
 
 
 def _text(idx, tmp_path, name):
@@ -161,3 +161,38 @@ def test_device_ref_mirror_matches_host_pack():
     np.testing.assert_array_equal(got_pk[:Lp // 4] & mask[:Lp // 4],
                                   packed[:Lp // 4] & mask[:Lp // 4])
     np.testing.assert_array_equal(got_bb[:Lp // 8], bb[:Lp // 8])
+
+
+def BASES_STR(rng, n):
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+
+@pytest.mark.parametrize("strand", ["ns", "ssfr"])
+def test_singleton_multi_d_drop(tmp_path, strand):
+    """A singleton mate1 whose mate2 window repeats at two distinct d in
+    the fragment range is a multi_d run (reference
+    src/emsar_functions.c:1926) and must contribute nothing — exercised
+    through the singleton-cluster fast path, byte-diffed against the
+    reference binary."""
+    rng = np.random.default_rng(404)
+    base = BASES_STR(rng, 30)
+    rep = BASES_STR(rng, 24)
+    # mate1 lands in `base`; the same 16-mer mate2 window appears at two
+    # offsets inside the fragment window
+    t0 = base + rep + rep + BASES_STR(rng, 30)
+    names = ["REP0"] + [f"D{i}" for i in range(6)]
+    seqs = [t0.encode()] + [BASES_STR(rng, 90).encode() for _ in range(6)]
+    fasta = str(tmp_path / "t.fa")
+    write_fasta(fasta, names, seqs)
+    ref_rsh = run_ref_build(fasta, 16, str(tmp_path), "r", pe=True,
+                            extra=["-f", "40", "-F", "80"])
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(pe=True, strand=StrandType.parse(strand, True),
+                      min_fraglength=40, max_fraglength=80, verbose=0)
+    if strand != "ns":
+        ref_rsh = run_ref_build(fasta, 16, str(tmp_path), "rs", pe=True,
+                                extra=["-f", "40", "-F", "80", "-s", strand])
+    idx = build_pe_index(tx, 16, cfg, backend="device")
+    ours = str(tmp_path / "ours.rsh")
+    idx.write_text(ours)
+    assert open(ours, "rb").read() == open(ref_rsh, "rb").read()
