@@ -134,6 +134,15 @@ def _quantize_size(n: int) -> int:
     return _pad_to(n, _next_pow2(n) // 8)
 
 
+def _launch_base(chunk_id: int, E: int) -> int:
+    """Monotone per-launch run-id offset: chunk_id << ceil_log2(E),
+    saturated so base + E stays within int32 (see _postsort_accumulate
+    on steal suppression)."""
+    shift = max((E - 1).bit_length(), 1)
+    cap = ((1 << 31) - 1 - E) >> shift
+    return min(int(chunk_id), cap) << shift
+
+
 def _psync(*arrays):
     """Block on device work under EMSAR_DEVBUILD_PROFILE so phase timers
     attribute async dispatches to the phase that issued them."""
@@ -468,17 +477,21 @@ def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
 
 
 def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
-                         nfl: int, max_repeat: int, U: int, C2: int,
+                         nfl: int, max_repeat: int, U: int,
                          chunk_id=None):
     """From sorted runs to: dense single-EUMA scatter, per-run signature
     records, exemplar-member extraction.  All arrays length E (sorted).
 
     ``chunk_id``: launch index recorded next to extracted members; run ids
     are only unique within a launch once builds are partitioned, so the
-    host groups members by (chunk, run).  Claim-table entries may be
-    "stolen" across launches by numerically smaller local ids — benign:
-    every win still extracts one complete real run whose identity the host
-    recomputes from the members themselves.
+    host groups members by (chunk, run).  ``chunk_base`` is a
+    caller-chosen monotone per-launch offset (_launch_base) added to the
+    local run index: claim slots keep the MINIMUM id, so monotone ids
+    stop later launches from "stealing" slots already claimed for the
+    same signature — steals are benign (every win still extracts one
+    complete real run) but each one pays a member extraction.  Once the
+    prefix saturates (launch count beyond the id width) steals resume
+    among the saturated launches only.
 
     Cost discipline: full-width (E-sized) gathers/scatters dominate a
     launch on this hardware (~120 M elem/s vs ~free elementwise/cumsum),
@@ -575,17 +588,21 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         win = wflag[jnp.clip(my_start, 0, E)] & validrow
         sg_run = chunk_base + my_start
         mem_cnt = jnp.sum(win, dtype=jnp.int32)
-        C2e = min(C2, E)
-        mdst = jnp.where(win, jnp.cumsum(win.astype(jnp.int32)) - 1, C2e)
-        msg = jnp.zeros(C2e, jnp.int32).at[mdst].set(sg_run, mode="drop",
-                                                     unique_indices=True)
-        mtid = jnp.zeros(C2e, jnp.int32).at[mdst].set(
-            tid.astype(jnp.int32), mode="drop", unique_indices=True)
-        mems, mem_n2, flags2 = _append_block(
-            [msg, mtid, jnp.full(C2e, ck, jnp.int32)],
-            [mem_sg, mem_tid, mem_chunk], mem_n, mem_cnt,
-            mem_sg.shape[0], flags, 1)
-        return mems[0], mems[1], mems[2], mem_n2, flags2
+        # direct compacting scatter at offset mem_n — no fixed-size block
+        # buffer (the old C2-sized intermediate + block append cost a
+        # full C2 pass even when a handful of runs won)
+        MEM = mem_sg.shape[0]
+        mdst = jnp.where(win, mem_n + jnp.cumsum(win.astype(jnp.int32)) - 1,
+                         MEM)
+        mem_sg = mem_sg.at[mdst].set(sg_run, mode="drop",
+                                     unique_indices=True)
+        mem_tid = mem_tid.at[mdst].set(tid.astype(jnp.int32), mode="drop",
+                                       unique_indices=True)
+        mem_chunk = mem_chunk.at[mdst].set(ck, mode="drop",
+                                           unique_indices=True)
+        flags = flags.at[1].max(jnp.where(mem_n + mem_cnt > MEM,
+                                          jnp.int32(1), jnp.int32(0)))
+        return mem_sg, mem_tid, mem_chunk, mem_n + mem_cnt, flags
 
     mem_sg, mem_tid, mem_chunk, mem_n, flags = jax.lax.cond(
         n_win > 0, extract, lambda a: a,
@@ -761,10 +778,10 @@ def _pe_expand_sort(RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nfl", "max_repeat", "U", "C2"),
+    jax.jit, static_argnames=("nfl", "max_repeat", "U"),
     donate_argnums=(0, 1, 2, 3))
-def _pe_chunk_accum(state, sck, srk, spay, chunk_id,
-                    nfl: int, max_repeat: int, U: int, C2: int):
+def _pe_chunk_accum(state, sck, srk, spay, chunk_id, chunk_base,
+                    nfl: int, max_repeat: int, U: int):
     """Run accumulation over one sorted PE candidate stream (second phase
     of _pe_expand_sort)."""
     stid = (spay >> jnp.uint32(9)).astype(jnp.int32)
@@ -772,10 +789,10 @@ def _pe_chunk_accum(state, sck, srk, spay, chunk_id,
                               (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
     validrow = sck != KEY_PAD
     d_ind = (spay & jnp.uint32(0x1FF)).astype(jnp.int32)
-    # run ids are chunk-local (base 0) + a chunk lane: candidate counts may
-    # exceed int32/uint32 at scale, and (chunk, id) is the identity anyway
+    # (chunk, id) is the member-group identity at scale; chunk_base only
+    # suppresses cross-launch claim steals (see _postsort_accumulate)
     return _postsort_accumulate(state, startf, validrow, d_ind, stid,
-                                jnp.int32(0), nfl, max_repeat, U, C2,
+                                chunk_base, nfl, max_repeat, U,
                                 chunk_id=chunk_id)
 
 
@@ -827,11 +844,12 @@ def _se_chunk_probe(S1, S2, S3, q0, n_valid, Q: int, V: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Q", "V", "nfl", "max_repeat", "U", "C2"),
+    jax.jit, static_argnames=("Q", "V", "nfl", "max_repeat", "U"),
     donate_argnums=(0,))
-def _se_sorted_chunk(state, S1, S2, S3, ST, q0, fl_ind, chunk_id, n_valid,
+def _se_sorted_chunk(state, S1, S2, S3, ST, q0, fl_ind, chunk_id,
+                     chunk_base, n_valid,
                      Q: int, V: int, nfl: int, max_repeat: int,
-                     U: int, C2: int):
+                     U: int):
     """Accumulate runs whose start lies in sorted rows [q0, q0+Q).
 
     The slice carries a 1-row lookback (exact run-start detection at the
@@ -854,8 +872,8 @@ def _se_sorted_chunk(state, S1, S2, S3, ST, q0, fl_ind, chunk_id, n_valid,
     valid = (q0 + j) <= n_valid
     rv = ownedrun[jnp.clip(my_start, 0, Ew - 1)] & valid
     d_ind = jnp.full(Ew, fl_ind, dtype=jnp.int32)
-    return _postsort_accumulate(state, start, rv, d_ind, st, jnp.int32(0),
-                                nfl, max_repeat, U, C2, chunk_id=chunk_id)
+    return _postsort_accumulate(state, start, rv, d_ind, st, chunk_base,
+                                nfl, max_repeat, U, chunk_id=chunk_id)
 
 
 # --------------------------------------------------------------------------
@@ -1056,11 +1074,11 @@ def _se_bucket_sort(P1, P2, P3, PT, off_b, cnt_b, Bcap: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Bcap", "nfl", "max_repeat", "U", "C2"),
+    jax.jit, static_argnames=("Bcap", "nfl", "max_repeat", "U"),
     donate_argnums=(0, 1, 2, 3, 4))
 def _se_bucket_accum(state, S1, S2, S3, ST, cnt_b, fl_ind,
-                     chunk_id, Bcap: int, nfl: int, max_repeat: int,
-                     U: int, C2: int):
+                     chunk_id, chunk_base, Bcap: int, nfl: int,
+                     max_repeat: int, U: int):
     """Run accumulation over one sorted bucket (second phase of
     _se_bucket_sort; the run-start recompute is 3 compares)."""
     j = jnp.arange(Bcap, dtype=jnp.int32)
@@ -1069,7 +1087,7 @@ def _se_bucket_accum(state, S1, S2, S3, ST, cnt_b, fl_ind,
     validrow = j < cnt_b  # invalid rows sort to the tail
     d_ind = jnp.full(Bcap, fl_ind, dtype=jnp.int32)
     return _postsort_accumulate(state, startf, validrow, d_ind, ST,
-                                jnp.int32(0), nfl, max_repeat, U, C2,
+                                chunk_base, nfl, max_repeat, U,
                                 chunk_id=chunk_id)
 
 
@@ -1536,14 +1554,13 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
             rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
             Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), E,
                      caps["TABCAP"] // 4)
-            C2k = min(max(_next_pow2(me_i + 64), 1 << 12), E,
-                      caps["MEMCAP"] // 2)
             state = _pe_chunk_accum(
-                state, sck, srk, spay, jnp.int32(k), nfl=nfl,
-                max_repeat=int(cfg.max_repeat), U=Uk, C2=C2k)
+                state, sck, srk, spay, jnp.int32(k),
+                jnp.int32(_launch_base(k, E)), nfl=nfl,
+                max_repeat=int(cfg.max_repeat), U=Uk)
             del sck, srk, spay
             state, drained = _maintain(state, caps, drained,
-                                       caps["TABCAP"] // 4, C2k)
+                                       caps["TABCAP"] // 4)
             pending = nxt
             if profile:
                 print(f"[profile] chunk {k}: "
@@ -1636,19 +1653,18 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                     rc_d, me_d = _se_chunk_probe(
                         S1, S2, S3, jnp.int32(k * Q), jnp.int32(n_valid),
                         Q=Q, V=V, max_repeat=int(cfg.max_repeat))
-                    rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
+                    rc_i = int(np.asarray(rc_d))
                     Uk = min(max(_next_pow2(rc_i + 64), 1 << 12),
                              Q + V + 1, caps["TABCAP"] // 4)
-                    C2k = min(max(_next_pow2(me_i + 64), 1 << 12),
-                              Q + V + 1, caps["MEMCAP"] // 2)
                     state = _se_sorted_chunk(
                         state, S1, S2, S3, ST, jnp.int32(k * Q),
                         jnp.int32(l - lmin), jnp.int32(chunk_id),
+                        jnp.int32(_launch_base(chunk_id, 1 + Q + V)),
                         jnp.int32(n_valid), Q=Q, V=V, nfl=nfl,
-                        max_repeat=int(cfg.max_repeat), U=Uk, C2=C2k)
+                        max_repeat=int(cfg.max_repeat), U=Uk)
                     chunk_id += 1
                     state, drained = _maintain(state, caps, drained,
-                                               caps["TABCAP"] // 4, C2k)
+                                               caps["TABCAP"] // 4)
             del S1, S2, S3, ST
             continue
         while True:  # escalation: only giant equal-window runs resist
@@ -1706,21 +1722,17 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                 # and extraction ops run at this scale, and sizing them
                 # to the bucket capacity cost ~5x (see _se_bucket_sort)
                 rc_i = int(np.asarray(rc_d))
-                me_i = int(np.asarray(me_d))
                 Ub = min(max(_next_pow2(rc_i + 64), 1 << 12), Bcap,
                          caps["TABCAP"] // 4)
-                # _maintain drains past MEMCAP/2 after every launch, so
-                # MEMCAP/2 headroom is always available
-                C2b = min(max(_next_pow2(me_i + 64), 1 << 12), Bcap,
-                          caps["MEMCAP"] // 2)
                 state = _se_bucket_accum(
                     state, S1, S2, S3, ST, jnp.int32(int(counts[b])),
-                    jnp.int32(l - lmin), jnp.int32(chunk_id), Bcap=Bcap,
-                    nfl=nfl, max_repeat=int(cfg.max_repeat), U=Ub, C2=C2b)
+                    jnp.int32(l - lmin), jnp.int32(chunk_id),
+                    jnp.int32(_launch_base(chunk_id, Bcap)), Bcap=Bcap,
+                    nfl=nfl, max_repeat=int(cfg.max_repeat), U=Ub)
                 del S1, S2, S3, ST
                 chunk_id += 1
                 state, drained = _maintain(state, caps, drained,
-                                           caps["TABCAP"] // 4, C2b)
+                                           caps["TABCAP"] // 4)
         del P1, P2, P3, PT
 
     with phase("SE dev: finalize", cfg.verbose):
@@ -1728,7 +1740,7 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                               drained=drained)
 
 
-def _maintain(state, caps, drained, U, C2):
+def _maintain(state, caps, drained, U):
     """Per-launch maintenance (one small sync): abort on overflow flags,
     fold the record table when the next launch might not fit, drain
     exemplar members to the host past half capacity.
