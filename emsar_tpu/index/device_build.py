@@ -526,14 +526,13 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     Ue = min(U, E)
     rec_valid = jnp.arange(Ue, dtype=jnp.int32) < rec_cnt
     rdst = jnp.where(rec, jnp.cumsum(rec.astype(jnp.int32)) - 1, Ue)
-    # two 1-column scatters: a single [Ue, 2] row scatter measured 12x
-    # slower than two flat ones on this hardware (tools/microbench_tpu.py)
     rsg = jnp.zeros(Ue, jnp.uint32).at[rdst].set(sgu, mode="drop",
                                                  unique_indices=True)
-    rfl = jnp.zeros(Ue, jnp.uint32).at[rdst].set(d_ind.astype(jnp.uint32),
-                                                 mode="drop",
-                                                 unique_indices=True)
     rec_idx = jnp.clip(rsg.astype(jnp.int32) - chunk_base, 0, E - 1)
+    # record fraglen via U-scale gather off the run start (an E-driven
+    # scatter like rsg's costs E index elements; garbage on dead rows is
+    # masked by rec_valid below)
+    rfl = d_ind[rec_idx].astype(jnp.uint32)
     rend = jnp.clip(next_start[rec_idx] - 1, 0, E - 1)
     # multi-d test at record scale (reference multi_d filter :1926): no
     # adjacent differing-d pair strictly inside [rec_idx, rend]
