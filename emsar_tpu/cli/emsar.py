@@ -137,9 +137,10 @@ def main(argv=None) -> int:
                     "between 1 and 10000.")
         elif o in ("-w", "--posbias_impute_len"):
             # validated and echoed for parity; the reference's only
-            # consumer is the unfinished (never-called)
-            # determine_scaling_factor_for_perpos_prob
-            # (src/emsar_functions.c:2559-2577), so it affects no output
+            # consumer is the unfinished determine_scaling_factor_for_
+            # perpos_prob (src/emsar_functions.c:2559-2577), whose sole
+            # call site is commented out (src/emsar_main.c:371) — the
+            # knob affects no reference output either
             cfg.perpos_freq_impute_len = int(a)
             if (cfg.perpos_freq_impute_len <= 0
                     or cfg.perpos_freq_impute_len > cfg.perpos_freq_len):
