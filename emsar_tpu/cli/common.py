@@ -27,11 +27,8 @@ def setup_jax(enable_x64: bool = True) -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "emsar_tpu",
                      "jit_cache"))
     if cache:
-        try:
-            os.makedirs(cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache)
-        except OSError:
-            pass
+        from ..utils import jitcache
+        jitcache.enable(cache)
 
 
 def die(msg: str) -> None:

@@ -24,9 +24,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "pe"
     reps = 2
     import jax
-    os.makedirs(os.path.join(CACHE, "jit_cache"), exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(CACHE, "jit_cache"))
+    from emsar_tpu.utils import jitcache
+    jitcache.enable(os.path.join(CACHE, "jit_cache"))
     log(f"platform: {jax.devices()}")
 
     from emsar_tpu.config import BuildConfig, StrandType

@@ -49,9 +49,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    cache_dir = os.path.join(CACHE, "jit_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    from emsar_tpu.utils import jitcache
+    jitcache.enable(os.path.join(CACHE, "jit_cache"))
     log(f"jax platform: {jax.devices()[0].platform}")
 
     tag = f"human{args.genes}"

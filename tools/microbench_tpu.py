@@ -16,9 +16,8 @@ sys.path.insert(0, REPO)
 import jax
 import jax.numpy as jnp
 
-cache = os.path.join(REPO, "bench_cache", "jit_cache")
-os.makedirs(cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", cache)
+from emsar_tpu.utils import jitcache
+jitcache.enable(os.path.join(REPO, "bench_cache", "jit_cache"))
 
 N = 1 << 24  # 16M
 

@@ -6,7 +6,8 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "bench_cache")
 
 import jax
-jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE, "jit_cache"))
+from emsar_tpu.utils import jitcache
+jitcache.enable(os.path.join(CACHE, "jit_cache"))
 os.environ.setdefault("EMSAR_DEVBUILD_PROFILE", "1")
 
 from emsar_tpu.io.fasta import read_fasta
