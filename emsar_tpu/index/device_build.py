@@ -480,7 +480,8 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                          nfl: int, max_repeat: int, U: int,
                          chunk_id=None):
     """From sorted runs to: dense single-EUMA scatter, per-run signature
-    records, exemplar-member extraction.  All arrays length E (sorted).
+    records, and a compacted winner list for exemplar-member extraction.
+    All input arrays length E (sorted).
 
     ``chunk_id``: launch index recorded next to extracted members; run ids
     are only unique within a launch once builds are partitioned, so the
@@ -488,7 +489,7 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     caller-chosen monotone per-launch offset (_launch_base) added to the
     local run index: claim slots keep the MINIMUM id, so monotone ids
     stop later launches from "stealing" slots already claimed for the
-    same signature — steals are benign (every win still extracts one
+    same signature — steals are benign (every win still yields one
     complete real run) but each one pays a member extraction.  Once the
     prefix saturates (launch count beyond the id width) steals resume
     among the saturated launches only.
@@ -498,7 +499,15 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     so everything testable per *record* — the multi-d filter, the hash
     lanes, the claim probes — runs at record (U) scale after the cumsum+
     scatter compaction; multi-d runs become dead rows (all-ones identity,
-    cnt 0) that the table aggregation drops."""
+    cnt 0) that the table aggregation drops.  Member extraction itself
+    runs in a separate launch (:func:`_extract_members`) at
+    winner-member scale — it used to cost ~5 E-scale random-access ops
+    inside this kernel even when a single run won.
+
+    Returns ``(state, win_sg, win_start, win_cnt, n_win, wmem)``: the
+    winner runs' ids / sorted-row starts / member counts compacted to the
+    front of [U] arrays, plus the winner count and total member demand
+    (device scalars) the host uses to size the extraction launch."""
     E = start.shape[0]
     claim_mask = state["claim1"].shape[0] - 1
     i = jnp.arange(E, dtype=jnp.int32)
@@ -574,45 +583,73 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                            (claim3[jnp.clip(slot3, 0, claim_mask)] == rsg))
     n_win = jnp.sum(win_rec, dtype=jnp.int32)
 
-    # extract exemplar members (elements of winner runs); skipped entirely
-    # on the common no-new-signature chunk
-    ck = (jnp.int32(0) if chunk_id is None
-          else jnp.asarray(chunk_id, jnp.int32))
+    # compact the winner runs' (id, sorted-row start, member count) to the
+    # front — everything at U scale; the member extraction launch
+    # (_extract_members) consumes these
+    wcnt_rec = next_start[rec_idx] - rec_idx
+    wdst = jnp.where(win_rec, jnp.cumsum(win_rec.astype(jnp.int32)) - 1, Ue)
+    win_sg = jnp.zeros(Ue, jnp.uint32).at[wdst].set(rsg, mode="drop",
+                                                    unique_indices=True)
+    win_start = jnp.zeros(Ue, jnp.int32).at[wdst].set(
+        rec_idx, mode="drop", unique_indices=True)
+    win_cnt = jnp.zeros(Ue, jnp.int32).at[wdst].set(
+        wcnt_rec, mode="drop", unique_indices=True)
+    wmem = jnp.sum(jnp.where(win_rec, wcnt_rec, 0), dtype=jnp.int32)
 
-    def extract(args):
-        mem_sg, mem_tid, mem_chunk, mem_n, flags = args
-        wflag = jnp.zeros(E + 1, bool).at[
-            jnp.where(win_rec, (rsg.astype(jnp.int32) - chunk_base), E)
-        ].set(True, mode="drop", unique_indices=True)
-        win = wflag[jnp.clip(my_start, 0, E)] & validrow
-        sg_run = chunk_base + my_start
-        mem_cnt = jnp.sum(win, dtype=jnp.int32)
-        # direct compacting scatter at offset mem_n — no fixed-size block
-        # buffer (the old C2-sized intermediate + block append cost a
-        # full C2 pass even when a handful of runs won)
-        MEM = mem_sg.shape[0]
-        mdst = jnp.where(win, mem_n + jnp.cumsum(win.astype(jnp.int32)) - 1,
-                         MEM)
-        mem_sg = mem_sg.at[mdst].set(sg_run, mode="drop",
-                                     unique_indices=True)
-        mem_tid = mem_tid.at[mdst].set(tid.astype(jnp.int32), mode="drop",
-                                       unique_indices=True)
-        mem_chunk = mem_chunk.at[mdst].set(ck, mode="drop",
-                                           unique_indices=True)
-        flags = flags.at[1].max(jnp.where(mem_n + mem_cnt > MEM,
-                                          jnp.int32(1), jnp.int32(0)))
-        return mem_sg, mem_tid, mem_chunk, mem_n + mem_cnt, flags
+    state = dict(state, dense=dense, tab_h1=tabs[0], tab_h2=tabs[1],
+                 tab_h3fl=tabs[2], tab_cnt=tabs[3],
+                 tab_n=tab_n, claim1=claim1, claim2=claim2, claim3=claim3,
+                 flags=flags)
+    return state, win_sg, win_start, win_cnt, n_win, wmem
 
-    mem_sg, mem_tid, mem_chunk, mem_n, flags = jax.lax.cond(
-        n_win > 0, extract, lambda a: a,
-        (state["mem_sg"], state["mem_tid"], state["mem_chunk"],
-         state["mem_n"], flags))
 
-    return dict(dense=dense, tab_h1=tabs[0], tab_h2=tabs[1],
-                tab_h3fl=tabs[2], tab_cnt=tabs[3],
-                tab_n=tab_n, mem_sg=mem_sg, mem_tid=mem_tid,
-                mem_chunk=mem_chunk, mem_n=mem_n,
-                claim1=claim1, claim2=claim2, claim3=claim3, flags=flags)
+@functools.partial(
+    jax.jit, static_argnames=("W", "tid_shift"), donate_argnums=(0,))
+def _extract_members(state, win_sg, win_start, win_cnt, tids_sorted, src0,
+                     chunk_id, W: int, tid_shift: int):
+    """Append the members of this launch's winner runs to the state's
+    exemplar-member buffers — all work at winner-member (W) scale.
+
+    ``win_*``: winner runs compacted to the front (rows with cnt 0 are
+    padding).  ``tids_sorted``: the launch's sorted payload; member tid =
+    tids_sorted[src0 + row] >> tid_shift (PE packs (tid, d) — tid_shift
+    9; SE passes tids directly — shift 0).  ``W``: host-chosen static
+    capacity >= this launch's total member demand (quantized pow2)."""
+    Uw = win_cnt.shape[0]
+    cnz = jnp.where(win_cnt > 0, win_cnt, 0)
+    offs = jnp.cumsum(cnz) - cnz  # exclusive prefix, constant on padding
+    j = jnp.arange(W, dtype=jnp.int32)
+    # owning run per output slot: scatter run index at its first slot,
+    # then cummax (runs with cnt 0 never scatter)
+    seg = jnp.full(W, -1, jnp.int32).at[
+        jnp.where(win_cnt > 0, offs, W)].max(
+        jnp.arange(Uw, dtype=jnp.int32), mode="drop")
+    seg = jnp.clip(jax.lax.cummax(seg), 0, Uw - 1)
+    row = win_start[seg] + (j - offs[seg])
+    total = jnp.sum(cnz, dtype=jnp.int32)
+    ok = j < total
+    tid = (tids_sorted[src0 + jnp.where(ok, row, 0)]
+           .astype(jnp.uint32) >> jnp.uint32(tid_shift)).astype(jnp.int32)
+    sg = win_sg[seg].astype(jnp.int32)
+    mem_n = state["mem_n"]
+    MEM = state["mem_sg"].shape[0]
+    # rows j >= total in the written block are garbage — they sit beyond
+    # the advanced mem_n, so the next append overwrites them and the
+    # final fetch ([:mem_n]) never sees them; a clamped-back write start
+    # (mem_n > MEM - W) would clobber real rows, which the flag marks
+    nc = jnp.clip(mem_n, 0, MEM - W)
+    out = dict(state)
+    out["mem_sg"] = jax.lax.dynamic_update_slice(state["mem_sg"], sg, (nc,))
+    out["mem_tid"] = jax.lax.dynamic_update_slice(state["mem_tid"], tid,
+                                                  (nc,))
+    out["mem_chunk"] = jax.lax.dynamic_update_slice(
+        state["mem_chunk"],
+        jnp.full(W, 0, jnp.int32) + jnp.asarray(chunk_id, jnp.int32), (nc,))
+    out["mem_n"] = mem_n + total
+    out["flags"] = state["flags"].at[1].max(
+        jnp.where((total > W) | (mem_n > MEM - W), jnp.int32(1),
+                  jnp.int32(0)))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -778,11 +815,12 @@ def _pe_expand_sort(RW, RF32, T32, NS, m1pos_ext, m1rank_ext, start_idx,
 
 @functools.partial(
     jax.jit, static_argnames=("nfl", "max_repeat", "U"),
-    donate_argnums=(0, 1, 2, 3))
+    donate_argnums=(0, 1, 2))
 def _pe_chunk_accum(state, sck, srk, spay, chunk_id, chunk_base,
                     nfl: int, max_repeat: int, U: int):
     """Run accumulation over one sorted PE candidate stream (second phase
-    of _pe_expand_sort)."""
+    of _pe_expand_sort).  ``spay`` is NOT donated: the member-extraction
+    launch reads it afterwards."""
     stid = (spay >> jnp.uint32(9)).astype(jnp.int32)
     startf = jnp.concatenate([jnp.ones(1, bool),
                               (sck[1:] != sck[:-1]) | (srk[1:] != srk[:-1])])
@@ -793,6 +831,130 @@ def _pe_chunk_accum(state, sck, srk, spay, chunk_id, chunk_base,
     return _postsort_accumulate(state, startf, validrow, d_ind, stid,
                                 chunk_base, nfl, max_repeat, U,
                                 chunk_id=chunk_id)
+
+
+# --------------------------------------------------------------------------
+# PE delta-shift global pipeline (streams that fit HBM)
+#
+# The cluster-chunked expansion above fetches every candidate's mate2
+# rank with an E-scale random gather (cluster members are scattered in
+# position space) — measured ~120 M elems/s, it dominates a chunk.  In
+# POSITION-major delta-major order every operand is a contiguous slice:
+# candidate (p, d0+dd) has keys (R[p], R[p + d0 + dd]) where both
+# factors are shifted copies of the SAME rank table, and the orientation
+# ranks RF32[p] / RF32[p+d0+dd] and tid T32[p] are slices too.  One
+# global 3-operand sort by (mate1 rank, mate2 rank) then groups exactly
+# the reference's runs (process_mate1_cluster_by_mate_3 + multi_d,
+# src/emsar_functions.c:2823-2934, 1926) — the fragment-length index
+# rides in the payload and the multi-d test is the accumulate's
+# adjacent-d check.  Singleton mate1 clusters need no special pass: a
+# same-(p)-different-d duplicate becomes a 2-element mixed-d run, which
+# the multi-d filter drops — the same verdict as the row-local
+# duplicate-rank test.
+#
+# Used whenever the whole candidate stream fits the memory budget
+# (PE_GLOBAL_BUDGET elements); larger builds use the cluster-chunked
+# path above.
+# --------------------------------------------------------------------------
+
+PE_GLOBAL_BUDGET = int(os.environ.get("EMSAR_PE_GLOBAL_BUDGET", 5 << 26))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Np", "nfl", "unstranded", "borderpos", "seqlength",
+                     "readlength"))
+def _pe_stream_gen(R, RF32, T32, NS, d0, Np: int, nfl: int,
+                   unstranded: bool, borderpos: int, seqlength: int,
+                   readlength: int):
+    """(A, B, PAY) for every (position, d) candidate, delta-major — all
+    operands are dynamic slices of position-indexed tables (no gathers).
+
+    A = mate1 rank (KEY_PAD on any invalid/dropped candidate), B = mate2
+    rank, PAY = (tid << 9) | d-index.  Validity and the unstranded
+    canonical orientation mirror _pe_cvalid exactly."""
+    rl = readlength
+    i = jnp.arange(Np, dtype=jnp.int32)
+
+    def sl(tab, off):
+        return jax.lax.dynamic_slice(tab, (off,), (Np,))
+
+    a = sl(R, jnp.int32(0))
+    tidm = sl(T32, jnp.int32(0))
+    ns = sl(NS, jnp.int32(0))
+    if unstranded:
+        rfp = sl(RF32, jnp.int32(0))
+    rowA, rowB, rowP = [], [], []
+    for ddi in range(nfl):
+        dd = jnp.int32(ddi)
+        b = sl(R, d0 + dd)
+        valid = ((i <= seqlength - rl - d0 - dd) & (a < BIG_RANK)
+                 & (b < BIG_RANK) & (d0 + dd <= ns - rl - i))
+        if unstranded:
+            rf = sl(RF32, d0 + dd)
+            cmp1 = jnp.sign(a - rf).astype(jnp.int8)
+            cmp2 = jnp.sign(b - rfp).astype(jnp.int8)
+            cmp = jnp.where(cmp1 != 0, cmp1, cmp2)
+            valid = valid & jnp.where(i < borderpos, cmp <= 0, cmp < 0)
+        rowA.append(jnp.where(valid, a.astype(jnp.uint32), KEY_PAD))
+        rowB.append(jnp.where(valid, b.astype(jnp.uint32), KEY_PAD))
+        rowP.append(jnp.where(
+            valid,
+            (tidm.astype(jnp.uint32) << jnp.uint32(9)) | jnp.uint32(ddi),
+            jnp.uint32(0)))
+    A = jnp.stack(rowA).reshape(-1)
+    B = jnp.stack(rowB).reshape(-1)
+    P = jnp.stack(rowP).reshape(-1)
+    return A, B, P
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _sort_payload3(A, B, P):
+    return jax.lax.sort((A, B, P), num_keys=2, is_stable=False)
+
+
+@functools.partial(jax.jit, static_argnames=("Q", "V", "max_repeat"))
+def _pe_stream_probe(A, B, q0, Q: int, V: int, max_repeat: int):
+    """Record/member demand of the sorted-stream chunk at q0 (mirrors
+    _se_chunk_probe with the 2-key run identity)."""
+    Ew = 1 + Q + V
+    j = jnp.arange(Ew, dtype=jnp.int32)
+    a = jax.lax.dynamic_slice(A, (q0,), (Ew,))
+    b = jax.lax.dynamic_slice(B, (q0,), (Ew,))
+    diff = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    ownedrun = start & (j >= 1) & (j <= Q)
+    my_start, next_start = _run_bounds(start)
+    rv = ownedrun[jnp.clip(my_start, 0, Ew - 1)] & (a != KEY_PAD)
+    cntr = next_start - j
+    rec = start & rv & (cntr > 1) & (cntr < max_repeat)
+    return (jnp.sum(rec, dtype=jnp.int32),
+            jnp.sum(jnp.where(rec, cntr, 0), dtype=jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Q", "V", "nfl", "max_repeat", "U"),
+    donate_argnums=(0,))
+def _pe_stream_chunk(state, A, B, P, q0, chunk_id, chunk_base,
+                     Q: int, V: int, nfl: int, max_repeat: int, U: int):
+    """Accumulate runs whose start lies in sorted rows [q0, q0+Q) of the
+    global delta-shift stream (same window discipline as
+    _se_sorted_chunk; d and tid unpack from the payload; winner starts
+    are slice-relative — extraction passes src0 = q0 against P)."""
+    Ew = 1 + Q + V
+    j = jnp.arange(Ew, dtype=jnp.int32)
+    a = jax.lax.dynamic_slice(A, (q0,), (Ew,))
+    b = jax.lax.dynamic_slice(B, (q0,), (Ew,))
+    p = jax.lax.dynamic_slice(P, (q0,), (Ew,))
+    diff = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff])
+    ownedrun = start & (j >= 1) & (j <= Q)
+    my_start, _ = _run_bounds(start)
+    rv = ownedrun[jnp.clip(my_start, 0, Ew - 1)] & (a != KEY_PAD)
+    d_ind = (p & jnp.uint32(0x1FF)).astype(jnp.int32)
+    tid = (p >> jnp.uint32(9)).astype(jnp.int32)
+    return _postsort_accumulate(state, start, rv, d_ind, tid, chunk_base,
+                                nfl, max_repeat, U, chunk_id=chunk_id)
 
 
 # --------------------------------------------------------------------------
@@ -850,6 +1012,9 @@ def _se_sorted_chunk(state, S1, S2, S3, ST, q0, fl_ind, chunk_id,
                      Q: int, V: int, nfl: int, max_repeat: int,
                      U: int):
     """Accumulate runs whose start lies in sorted rows [q0, q0+Q).
+
+    Winner run starts (win_start) are relative to this Ew slice; the
+    member-extraction launch passes src0 = q0 against the full ST array.
 
     The slice carries a 1-row lookback (exact run-start detection at the
     chunk edge) and a V-row lookahead with V > max_repeat: every run that
@@ -1074,12 +1239,13 @@ def _se_bucket_sort(P1, P2, P3, PT, off_b, cnt_b, Bcap: int,
 
 @functools.partial(
     jax.jit, static_argnames=("Bcap", "nfl", "max_repeat", "U"),
-    donate_argnums=(0, 1, 2, 3, 4))
+    donate_argnums=(0, 1, 2, 3))
 def _se_bucket_accum(state, S1, S2, S3, ST, cnt_b, fl_ind,
                      chunk_id, chunk_base, Bcap: int, nfl: int,
                      max_repeat: int, U: int):
     """Run accumulation over one sorted bucket (second phase of
-    _se_bucket_sort; the run-start recompute is 3 compares)."""
+    _se_bucket_sort; the run-start recompute is 3 compares).  ``ST`` is
+    NOT donated: the member-extraction launch reads it afterwards."""
     j = jnp.arange(Bcap, dtype=jnp.int32)
     diff = (S1[1:] != S1[:-1]) | (S2[1:] != S2[:-1]) | (S3[1:] != S3[:-1])
     startf = jnp.concatenate([jnp.ones(1, bool), diff])
@@ -1451,6 +1617,95 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
     return SP, rank, maxcl_i, n_valid, R
 
 
+@functools.partial(jax.jit, static_argnames=("Lpx", "nv", "two"),
+                   donate_argnums=())
+def _pe_global_tables(R, T32, NS, Lpx: int, nv: int, two: bool):
+    """Sentinel-extended position tables for the delta-shift stream: every
+    slice R[d0+dd : d0+dd+Np] must stay in bounds (a clamped
+    dynamic_slice would silently alias positions)."""
+    def ext(tab, fill):
+        return jnp.concatenate(
+            [tab, jnp.full(Lpx - tab.shape[0], fill, tab.dtype)])
+
+    Rx = ext(R, BIG_RANK)
+    if two:
+        RFx = ext(jnp.concatenate(
+            [jnp.flip(R[:nv]),
+             jnp.full(R.shape[0] - nv, BIG_RANK, jnp.int32)]), BIG_RANK)
+    else:
+        RFx = Rx
+    return Rx, RFx, ext(T32, 0), ext(NS, 0)
+
+
+def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
+                     fl_min: int, fl_max: int, two: bool,
+                     cfg: BuildConfig) -> RshIndex:
+    """Delta-shift global PE pipeline (see the section comment above
+    _pe_stream_gen): slice-generated candidate keys, one global sort,
+    SE-style chunked accumulation."""
+    nfl = fl_max - fl_min + 1
+    d0 = fl_min - rl
+    seqlength = int(tx.seqlength)
+    borderpos = int(tx.borderpos)
+    n1 = (seqlength if two else borderpos) - rl + 1
+    Np = _pad_to(n1, 256)
+    Lpx = _pad_to(max(Np + d0 + nfl + 8, ref.Lp), 256)
+    E = Np * nfl
+    profile = bool(os.environ.get("EMSAR_DEVBUILD_PROFILE"))
+
+    with phase("PE dev: stream gen", cfg.verbose):
+        T32 = ref.t32(rl)
+        Rx, RFx, T32x, NSx = _pe_global_tables(
+            R, T32, ref.nsep, Lpx=Lpx, nv=seqlength - rl + 1, two=two)
+        del R, T32
+        A, B, P = _pe_stream_gen(Rx, RFx, T32x, NSx, jnp.int32(d0),
+                                 Np=Np, nfl=nfl, unstranded=two,
+                                 borderpos=borderpos, seqlength=seqlength,
+                                 readlength=rl)
+        del Rx, RFx, T32x, NSx
+        _psync(P)
+    with phase(f"PE dev: stream sort ({E} rows)", cfg.verbose):
+        A, B, P = _sort_payload3(A, B, P)
+        _psync(P)
+
+    caps = _caps_partitioned(E)
+    state = _init_state(tx.n_transcripts, nfl, caps)
+    drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    V = _next_pow2(max(int(cfg.max_repeat) + 2, 64))
+    Q = min(_next_pow2(E), 1 << 24)
+    n_chunks = max(-(-E // Q), 1)
+    with phase(f"PE dev: stream accumulate ({n_chunks} chunks)",
+               cfg.verbose):
+        A = _pad_sorted(A, KEY_PAD, tail=Q + V)
+        B = _pad_sorted(B, KEY_PAD, tail=Q + V)
+        P = _pad_sorted(P, jnp.uint32(0), tail=Q + V)
+        import time as _time
+        for k in range(n_chunks):
+            if profile:
+                t0 = _time.perf_counter()
+            rc_d, me_d = _pe_stream_probe(A, B, jnp.int32(k * Q), Q=Q, V=V,
+                                          max_repeat=int(cfg.max_repeat))
+            rc_i = int(np.asarray(rc_d))
+            Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), Q + V + 1,
+                     caps["TABCAP"] // 4)
+            state, *win = _pe_stream_chunk(
+                state, A, B, P, jnp.int32(k * Q), jnp.int32(k),
+                jnp.int32(_launch_base(k, 1 + Q + V)), Q=Q, V=V, nfl=nfl,
+                max_repeat=int(cfg.max_repeat), U=Uk)
+            state, drained = _maintain(state, caps, drained,
+                                       caps["TABCAP"] // 4, win=win,
+                                       tids_sorted=P, src0=k * Q,
+                                       chunk_id=k, tid_shift=9)
+            if profile:
+                print(f"[profile] stream chunk {k}: "
+                      f"{_time.perf_counter() - t0:.3f}s rec={rc_i}",
+                      flush=True)
+    del A, B, P
+    with phase("PE dev: finalize", cfg.verbose):
+        return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max,
+                              drained=drained)
+
+
 def build_pe_index_device(tx: Transcriptome, readlength: int,
                           cfg: BuildConfig) -> RshIndex:
     """PE rsh index, fully device-resident (see module docstring)."""
@@ -1476,6 +1731,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         ref = DeviceRef(tx)
     spos, rank, maxcl_i, nvalid_i, R = _pe_rank_hashsort(tx, ref, rl, two,
                                                          cfg)
+
+    n1 = (int(tx.seqlength) if two else int(tx.borderpos)) - rl + 1
+    if _pad_to(n1, 256) * nfl <= PE_GLOBAL_BUDGET:
+        del spos, rank
+        return _build_pe_global(tx, ref, R, rl, fl_min, fl_max, two, cfg)
 
     with phase("PE dev: cluster partition", cfg.verbose):
         SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
@@ -1553,13 +1813,16 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
             rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
             Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), E,
                      caps["TABCAP"] // 4)
-            state = _pe_chunk_accum(
+            state, *win = _pe_chunk_accum(
                 state, sck, srk, spay, jnp.int32(k),
                 jnp.int32(_launch_base(k, E)), nfl=nfl,
                 max_repeat=int(cfg.max_repeat), U=Uk)
-            del sck, srk, spay
+            del sck, srk
             state, drained = _maintain(state, caps, drained,
-                                       caps["TABCAP"] // 4)
+                                       caps["TABCAP"] // 4, win=win,
+                                       tids_sorted=spay, src0=0,
+                                       chunk_id=k, tid_shift=9)
+            del spay
             pending = nxt
             if profile:
                 print(f"[profile] chunk {k}: "
@@ -1655,15 +1918,19 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                     rc_i = int(np.asarray(rc_d))
                     Uk = min(max(_next_pow2(rc_i + 64), 1 << 12),
                              Q + V + 1, caps["TABCAP"] // 4)
-                    state = _se_sorted_chunk(
+                    state, *win = _se_sorted_chunk(
                         state, S1, S2, S3, ST, jnp.int32(k * Q),
                         jnp.int32(l - lmin), jnp.int32(chunk_id),
                         jnp.int32(_launch_base(chunk_id, 1 + Q + V)),
                         jnp.int32(n_valid), Q=Q, V=V, nfl=nfl,
                         max_repeat=int(cfg.max_repeat), U=Uk)
-                    chunk_id += 1
                     state, drained = _maintain(state, caps, drained,
-                                               caps["TABCAP"] // 4)
+                                               caps["TABCAP"] // 4,
+                                               win=win, tids_sorted=ST,
+                                               src0=k * Q,
+                                               chunk_id=chunk_id,
+                                               tid_shift=0)
+                    chunk_id += 1
             del S1, S2, S3, ST
             continue
         while True:  # escalation: only giant equal-window runs resist
@@ -1723,15 +1990,19 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                 rc_i = int(np.asarray(rc_d))
                 Ub = min(max(_next_pow2(rc_i + 64), 1 << 12), Bcap,
                          caps["TABCAP"] // 4)
-                state = _se_bucket_accum(
+                state, *win = _se_bucket_accum(
                     state, S1, S2, S3, ST, jnp.int32(int(counts[b])),
                     jnp.int32(l - lmin), jnp.int32(chunk_id),
                     jnp.int32(_launch_base(chunk_id, Bcap)), Bcap=Bcap,
                     nfl=nfl, max_repeat=int(cfg.max_repeat), U=Ub)
-                del S1, S2, S3, ST
-                chunk_id += 1
+                del S1, S2, S3
                 state, drained = _maintain(state, caps, drained,
-                                           caps["TABCAP"] // 4)
+                                           caps["TABCAP"] // 4,
+                                           win=win, tids_sorted=ST,
+                                           src0=0, chunk_id=chunk_id,
+                                           tid_shift=0)
+                del ST
+                chunk_id += 1
         del P1, P2, P3, PT
 
     with phase("SE dev: finalize", cfg.verbose):
@@ -1739,16 +2010,40 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                               drained=drained)
 
 
-def _maintain(state, caps, drained, U):
-    """Per-launch maintenance (one small sync): abort on overflow flags,
-    fold the record table when the next launch might not fit, drain
-    exemplar members to the host past half capacity.
+def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
+              src0=0, chunk_id=0, tid_shift=0):
+    """Per-launch maintenance (one small sync): dispatch winner-member
+    extraction, abort on overflow flags, fold the record table when the
+    next launch might not fit, drain exemplar members to the host past
+    half capacity.
+
+    ``win``: the (win_sg, win_start, win_cnt, n_win, wmem) tuple from
+    :func:`_postsort_accumulate`; extraction only launches when winners
+    exist (the common no-new-signature launch costs nothing beyond the
+    scalar fetch, which this sync already pays).
 
     ``U`` must bound the NEXT launch's record demand, which is unknown
     under demand sizing — callers pass the worst case (TABCAP/4), so the
     fold triggers whenever tab_n passes TABCAP/2."""
-    scal = np.asarray(jnp.stack([state["mem_n"], state["tab_n"],
-                                 state["flags"][0], state["flags"][1]]))
+    if win is not None:
+        win_sg, win_start, win_cnt, n_win_d, wmem_d = win
+        scal = np.array(jnp.stack(
+            [state["mem_n"], state["tab_n"], state["flags"][0],
+             state["flags"][1], n_win_d, wmem_d]))
+        if scal[4] > 0:
+            wmem = int(scal[5])
+            W = _next_pow2(max(wmem, 256))
+            if W > caps["MEMCAP"]:
+                raise DeviceBuildOverflow(
+                    f"winner member demand {wmem} > MEMCAP")
+            state = _extract_members(
+                state, win_sg, win_start, win_cnt, tids_sorted,
+                jnp.int32(src0), jnp.int32(chunk_id), W=W,
+                tid_shift=tid_shift)
+            scal[0] += wmem
+    else:
+        scal = np.asarray(jnp.stack([state["mem_n"], state["tab_n"],
+                                     state["flags"][0], state["flags"][1]]))
     if scal[2] or scal[3]:
         raise DeviceBuildOverflow(
             f"device buffer overflow (tab={bool(scal[2])}, "

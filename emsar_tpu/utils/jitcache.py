@@ -5,9 +5,11 @@ On the remote-compile relay even a trivial kernel (an out-of-jit
 XLA reports its *compile* time as near zero — below the persistent
 cache's default 1 s write threshold — so those kernels were re-relayed
 once per process forever.  Zeroing the write thresholds makes every
-compiled executable persist, which removes ~30 s of per-process
-cold-start on the PE build path (measured: rep0 53.9 s -> rep1 22.3 s
-was mostly these never-cached trivial kernels, not the big ones).
+compiled executable persist, which removes ~10 s of per-process
+cold-start on the PE build path (BASELINE_MEASURED.md round-3: of the
+measured ~31 s rep0-vs-rep1 gap, ~10 s was these never-cached trivial
+kernels; the remaining ~14 s is retracing + relay session setup, which
+no cache knob addresses).
 """
 
 from __future__ import annotations

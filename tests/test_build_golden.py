@@ -92,6 +92,18 @@ def test_pe_unstranded_with_N_golden(tmp_path):
               pe=True, max_frag=50, n_frac=0.02)
 
 
+def test_pe_cluster_chunk_path_golden(tmp_path, monkeypatch):
+    """Pin the cluster-chunked expansion (the human-scale path): the
+    delta-shift global pipeline handles every in-budget build, so this
+    forces the budget to 0 to keep the big-build path under test."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(23), n=15, readlength=20,
+              pe=True, max_frag=60, min_frag=1)
+    _run_case(tmp_path, np.random.default_rng(24), n=15, readlength=18,
+              pe=True, strand="ssfr", max_frag=55, min_frag=1)
+
+
 def test_se_numpy_backend_golden(tmp_path):
     _run_case(tmp_path, np.random.default_rng(17), n=20, readlength=20,
               pe=False, backend="numpy")
