@@ -325,10 +325,33 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
             return rc
         # fell through: EUMAcut re-clustering triggered; per-sample loop
 
+    # Multisample ingest/solve overlap: while sample i solves on device,
+    # a worker thread ingests file i+1 (the C++ collapser releases the
+    # GIL and brings its own threads).  Counts are private per file, so
+    # results are bit-identical to the serial loop.  Disabled with
+    # posbias (-m 1 accumulates into shared arrays in file order) and
+    # for stdin.
+    prefetch_ok = (native_collapser is not None and posbias is None
+                   and len(alnfiles) > 1 and all(alnfiles))
+    executor = None
+    pending = None
+    if prefetch_ok:
+        import concurrent.futures
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+        def _ingest(path):
+            return native_collapser.collapse_file(
+                path, cfg.aln_format, cfg.pe, cfg.strand.code,
+                cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
+                pe_readlength if cfg.pe else None,
+                nthreads=cfg.max_threads)
+
     for i, alnfile in enumerate(alnfiles):
         with phase(f"reading alignment file {alnfile or '<stdin>'}",
                    cfg.verbose):
-            if native_collapser is not None:
+            if pending is not None:
+                counts = pending.result()
+            elif native_collapser is not None:
                 counts = native_collapser.collapse_file(
                     alnfile, cfg.aln_format, cfg.pe, cfg.strand.code,
                     cfg.max_repeat, cfg.min_fraglength, cfg.max_fraglength,
@@ -337,6 +360,9 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
             else:
                 counts = _collapse_python(index, name_to_tid, cfg, alnfile,
                                           pe_readlength, posbias)
+        pending = (executor.submit(_ingest, alnfiles[i + 1])
+                   if executor is not None and i + 1 < len(alnfiles)
+                   else None)
 
         if posbias is not None and i == 0:
             write_posbias(os.path.join(outdir, outprefix + ".posbias"),
@@ -366,6 +392,8 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
 
         if cfg.verbose > 0:
             print(f"Complete: Output file :\n  {fpkm_path}\n  {fl_path}")
+    if executor is not None:
+        executor.shutdown(wait=False)
     return 0
 
 

@@ -913,23 +913,30 @@ def _sort_payload3(A, B, P):
     return jax.lax.sort((A, B, P), num_keys=2, is_stable=False)
 
 
-@functools.partial(jax.jit, static_argnames=("Q", "V", "max_repeat"))
-def _pe_stream_probe(A, B, q0, Q: int, V: int, max_repeat: int):
-    """Record/member demand of the sorted-stream chunk at q0 (mirrors
-    _se_chunk_probe with the 2-key run identity)."""
-    Ew = 1 + Q + V
-    j = jnp.arange(Ew, dtype=jnp.int32)
-    a = jax.lax.dynamic_slice(A, (q0,), (Ew,))
-    b = jax.lax.dynamic_slice(B, (q0,), (Ew,))
+@functools.partial(jax.jit, static_argnames=("E", "Q", "n_chunks",
+                                             "max_repeat"))
+def _pe_stream_stats(A, B, E: int, Q: int, n_chunks: int, max_repeat: int):
+    """ONE pass over the sorted stream: per-chunk record counts + the
+    valid row count.  Replaces a per-chunk probe launch (each cost an
+    Ew-wide pass plus a host round trip); chunk ownership matches
+    _pe_stream_chunk (a run belongs to the chunk containing its start).
+    A/B are the padded arrays (row 0 is the lookback pad)."""
+    j = jnp.arange(E, dtype=jnp.int32)
+    a = jax.lax.dynamic_slice(A, (1,), (E,))
+    b = jax.lax.dynamic_slice(B, (1,), (E,))
     diff = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     start = jnp.concatenate([jnp.ones(1, bool), diff])
-    ownedrun = start & (j >= 1) & (j <= Q)
-    my_start, next_start = _run_bounds(start)
-    rv = ownedrun[jnp.clip(my_start, 0, Ew - 1)] & (a != KEY_PAD)
+    _, next_start = _run_bounds(start)
     cntr = next_start - j
-    rec = start & rv & (cntr > 1) & (cntr < max_repeat)
-    return (jnp.sum(rec, dtype=jnp.int32),
-            jnp.sum(jnp.where(rec, cntr, 0), dtype=jnp.int32))
+    rec = start & (a != KEY_PAD) & (cntr > 1) & (cntr < max_repeat)
+    S = jnp.cumsum(rec.astype(jnp.int32))
+    # rec starts in [k*Q, (k+1)*Q) belong to chunk k
+    edge = jnp.minimum(jnp.arange(1, n_chunks + 1, dtype=jnp.int32) * Q,
+                       E) - 1
+    Se = S[edge]
+    per_chunk = jnp.concatenate([Se[:1], Se[1:] - Se[:-1]])
+    n_valid = jnp.sum(a != KEY_PAD, dtype=jnp.int32)
+    return per_chunk, n_valid
 
 
 @functools.partial(
@@ -1679,13 +1686,18 @@ def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
         A = _pad_sorted(A, KEY_PAD, tail=Q + V)
         B = _pad_sorted(B, KEY_PAD, tail=Q + V)
         P = _pad_sorted(P, jnp.uint32(0), tail=Q + V)
+        rc_dev, nv_dev = _pe_stream_stats(A, B, E=E, Q=Q,
+                                          n_chunks=n_chunks,
+                                          max_repeat=int(cfg.max_repeat))
+        rc_all = np.asarray(rc_dev)
+        n_valid = int(np.asarray(nv_dev))
         import time as _time
         for k in range(n_chunks):
+            if k * Q >= n_valid:
+                break  # invalid rows sort last; all-pad chunks are inert
             if profile:
                 t0 = _time.perf_counter()
-            rc_d, me_d = _pe_stream_probe(A, B, jnp.int32(k * Q), Q=Q, V=V,
-                                          max_repeat=int(cfg.max_repeat))
-            rc_i = int(np.asarray(rc_d))
+            rc_i = int(rc_all[k])
             Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), Q + V + 1,
                      caps["TABCAP"] // 4)
             state, *win = _pe_stream_chunk(
