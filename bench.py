@@ -399,6 +399,149 @@ def bench_build_pe(platform):
     return t_ref, t_ours, identical
 
 
+def ensure_multisample_fixture(aln, n_samples=16):
+    """Split the SE bench alignment file into n qname-grouped shards that
+    serve as independent samples (each ~1/n of the reads)."""
+    paths = [os.path.join(CACHE, f"ms{i:02d}.bowtieout")
+             for i in range(n_samples)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    log("splitting multisample fixture...")
+    outs = [open(p, "w", buffering=1 << 20) for p in paths]
+    last_id, cur = None, -1
+    with open(aln) as fh:
+        for ln in fh:
+            rid = ln[:ln.index("\t")]
+            if rid != last_id:
+                last_id = rid
+                cur = (cur + 1) % n_samples
+            outs[cur].write(ln)
+    for o in outs:
+        o.close()
+    return paths
+
+
+def bench_multisample(rsh, aln, platform, n_samples=16):
+    """BASELINE config-5 stand-in on one chip: 16 samples solved as one
+    batched dp solve (-M --batch_samples) vs the per-sample loop (which
+    itself overlaps ingest with the device solve).  Returns
+    (t_loop, t_batched, samples/s, max TPM diff between the two paths)."""
+    from emsar_tpu.config import QuantConfig, StrandType
+    from emsar_tpu.cli.emsar import run_quantifier
+
+    paths = ensure_multisample_fixture(aln, n_samples)
+    out_loop = os.path.join(CACHE, "msout_loop")
+    out_bat = os.path.join(CACHE, "msout_bat")
+
+    def run(batch, outdir):
+        cfg = QuantConfig(verbose=0, multisample=True, batch_samples=batch)
+        cfg.strand = StrandType.parse("ns", False)
+        cfg.solver_dtype = "float64" if platform == "cpu" else "float32"
+        t0 = time.perf_counter()
+        run_quantifier(cfg, "", rsh, outdir, "s", paths)
+        return time.perf_counter() - t0
+
+    t_loop = t_bat = float("inf")
+    for _ in range(2):
+        t_loop = min(t_loop, run(False, out_loop))
+        t_bat = min(t_bat, run(True, out_bat))
+
+    # Equality metric: per-sample log-likelihood gap of the two paths'
+    # reported (round-0) FPKM vectors under the same problem.  Gene TPM
+    # can drift tens of units between equal-likelihood maximizer points
+    # on this gene-family fixture (collinear isoform manifolds), so the
+    # likelihood itself is the well-defined equality check.
+    from emsar_tpu.config import QuantConfig as QC, StrandType as ST
+    from emsar_tpu.io.rsh import RshIndex
+    from emsar_tpu.ingest import native as native_mod
+    from emsar_tpu.model.modules import (build_segment_graph,
+                                         decompose_modules)
+    from emsar_tpu.model.quantify import compute_wf, _host_loglik
+    from emsar_tpu.model.solver import build_problem
+
+    cfgq = QC(verbose=0)
+    cfgq.strand = ST.parse("ns", False)
+    index = RshIndex.load(rsh)
+    nc = native_mod.NativeCollapser(index)
+    rel_gap = 0.0
+    for i in range(n_samples):
+        counts = nc.collapse_file(paths[i], "bowtie", False, 0,
+                                  cfgq.max_repeat, cfgq.min_fraglength,
+                                  cfgq.max_fraglength, None)
+        wf = compute_wf(index, counts.fraglength_counts)
+        adj = np.concatenate([index.single_euma.astype(np.float64) @ wf,
+                              index.multi_euma.astype(np.float64) @ wf])
+        rc = counts.readcount_per_cid()
+        graph = build_segment_graph(index, adj, rc)
+        modules = decompose_modules(graph)
+        eumaps = adj / 1e3 * (counts.total_read_count / 1e6)
+        prob = build_problem(graph, modules, eumaps, rc)
+
+        def fpkm_col(p):
+            out = []
+            with open(p) as fh:
+                next(fh)
+                for ln in fh:
+                    out.append(float(ln.split("\t")[1]))
+            return np.asarray(out)
+
+        ll_a = _host_loglik(prob, fpkm_col(
+            os.path.join(out_loop, f"s.{i}.fpkm")))
+        ll_b = _host_loglik(prob, fpkm_col(
+            os.path.join(out_bat, f"s.{i}.fpkm")))
+        rel_gap = max(rel_gap, abs(ll_a - ll_b) / max(abs(ll_a), 1.0))
+    log(f"multisample x{n_samples}: per-sample loop {t_loop:.2f}s, "
+        f"batched {t_bat:.2f}s ({n_samples / t_bat:.2f} samples/s); "
+        f"loop-vs-batched max relative loglik gap {rel_gap:.2e}")
+    return t_loop, t_bat, rel_gap
+
+
+def bench_scale_quantify(platform):
+    """BASELINE config-3: quantify at human-transcriptome scale (337 Mbp /
+    167k transcripts / 3M SE l76 reads, 9.1M alignment lines).  Fixtures
+    are produced once by tools/make_scale_fixture.py + make_scale_reads.py
+    + a device index build (byte-identical to the reference builder's);
+    skipped (returns None) when absent so the driver bench stays bounded
+    on a cold cache."""
+    rsh = os.path.join(CACHE, "ourscale76.rsh")
+    aln = os.path.join(CACHE, "scale_reads.bowtieout")
+    if not (os.path.exists(rsh) and os.path.exists(aln)):
+        log("scale-quantify fixtures absent; skipping (see tools/"
+            "make_scale_fixture.py / make_scale_reads.py)")
+        return None
+    t_ref = float("inf")
+    for p in ("2",):
+        t0 = time.perf_counter()
+        subprocess.run([REF_EMSAR, "-q", "-p", p, "-I", rsh,
+                        os.path.join(CACHE, "refscaleout"), "s", aln],
+                       check=True, capture_output=True)
+        t_ref = min(t_ref, time.perf_counter() - t0)
+        log(f"scale quantify reference -p {p}: {t_ref:.2f}s")
+
+    from emsar_tpu.config import QuantConfig, StrandType
+    from emsar_tpu.cli.emsar import run_quantifier
+    outdir = os.path.join(CACHE, "ourscaleout")
+    t_ours = float("inf")
+    for rep in range(2):
+        cfg = QuantConfig(verbose=0)
+        cfg.strand = StrandType.parse("ns", False)
+        cfg.solver_dtype = "float64" if platform == "cpu" else "float32"
+        t0 = time.perf_counter()
+        run_quantifier(cfg, "", rsh, outdir, "s", [aln])
+        t_ours = min(t_ours, time.perf_counter() - t0)
+        log(f"scale quantify ours rep{rep}: {time.perf_counter() - t0:.2f}s")
+    _, gdiff = tpm_maxdiff(os.path.join(CACHE, "refscaleout", "s.0.fpkm"),
+                           os.path.join(outdir, "s.0.fpkm"))
+    n_reads = 3_000_000
+    log(f"scale quantify: reference {t_ref:.2f}s ours {t_ours:.2f}s "
+        f"({t_ref / t_ours:.2f}x); {n_reads / t_ours / 1e6:.2f}M reads/s "
+        f"e2e; gene TPM maxdiff {gdiff:.4f}")
+    return dict(ref_s=round(t_ref, 2), ours_s=round(t_ours, 2),
+                speedup=round(t_ref / t_ours, 3),
+                reads_per_s=round(n_reads / t_ours),
+                gene_tpm_maxdiff=round(gdiff, 4))
+
+
 def tpm_maxdiff(ref_fpkm, our_fpkm):
     """(transcript-level maxdiff, gene-level maxdiff).
 
@@ -466,6 +609,12 @@ def main():
     t_ref_build, t_ours_build, identical = bench_build(fasta, platform)
     t_ref_bpe, t_ours_bpe, identical_pe = bench_build_pe(platform)
 
+    # multisample batched solve (BASELINE config-5 stand-in)
+    t_ms_loop, t_ms_bat, ms_diff = bench_multisample(rsh, aln, platform)
+
+    # human-scale quantify (BASELINE config 3); None on a cold cache
+    scale = bench_scale_quantify(platform)
+
     speedup = float(np.sqrt(se_speedup * pe_speedup))
     print(json.dumps({
         "metric": "e2e_quantify_speedup_vs_ref_C",
@@ -484,6 +633,11 @@ def main():
             "build_pe_ref_s": round(t_ref_bpe, 2),
             "build_pe_ours_s": round(t_ours_bpe, 2),
             "build_pe_byte_identical": bool(identical_pe),
+            "ms16_loop_s": round(t_ms_loop, 2),
+            "ms16_batched_s": round(t_ms_bat, 2),
+            "ms16_samples_per_s": round(16 / t_ms_bat, 2),
+            "ms16_loop_vs_batched_loglik_relgap": float(f"{ms_diff:.2e}"),
+            "scale_quantify": scale,
         }}))
 
 
