@@ -107,7 +107,12 @@ class QuantConfig:
     # across hosts, process 0 writes the single output (parallel/dist.py)
     dist_merge_shards: bool = False
     solver_mode: str = "auto"  # 'auto' (dense batches + CSR rest) | 'csr'
-    solver_pallas: bool = False  # VMEM-resident Pallas EM blocks
+    solver_pallas: bool = False  # VMEM-resident Pallas EM blocks.
+    # Measured SLOWER than the default XLA einsum path on every bench
+    # size class (1.11-1.40x, tools/bench_pallas.py + BASELINE_MEASURED
+    # round 4): the module batches are latency-bound and Mosaic cannot
+    # lower batched dot_general, so the kernel loses the MXU.  Kept as
+    # the documented experimental alternative.
     # 'auto': float64 on CPU, float32 (+ host f64 polish) on TPU — f64 EM
     # on the TPU is both slow and (on this tunnel) compile-hostile
     solver_dtype: str = "auto"  # 'auto' | 'float32' | 'float64'

@@ -124,9 +124,12 @@ def _restart_eps(cfg: QuantConfig) -> float:
     (O(1-100) FPKM); convergence error contributes O(eps * scale).
     Measured on the 12k-transcript bench workload, eps 1e-3 vs 1e-4
     leaves the sd distribution statistically identical (2618 vs 2620
-    transcripts with sd > 1, same max/mean) at half the solve time.
-    Only the default epsilon is loosened: an explicit -e overrides this
-    floor in either direction."""
+    transcripts with sd > 1, same max/mean) at half the solve time;
+    re-validated round 4 on the PE BAM workload (464 vs 464 transcripts
+    with sd > 1, identical max, mean 1.0002 vs 0.9991) and on a fully
+    collinear 800-transcript fixture (identical stats to all digits) —
+    tools/validate_restart_eps.py.  Only the default epsilon is
+    loosened: an explicit -e overrides this floor in either direction."""
     default_eps = type(cfg).__dataclass_fields__["epsilon"].default
     return 1e-3 if cfg.epsilon == default_eps else cfg.epsilon
 
