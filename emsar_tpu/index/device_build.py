@@ -1341,25 +1341,16 @@ def _tab_finalize(tab_h1, tab_h2, tab_h3fl, tab_cnt, UCAP: int):
 # --------------------------------------------------------------------------
 
 
-def _caps(ncand_hint: int, ntid: int, nfl: int) -> Dict[str, int]:
-    n = max(int(ncand_hint), 1)
-    return dict(
-        TABCAP=min(_next_pow2(n + 1024), 3 << 24),
-        MEMCAP=min(_next_pow2(2 * n + 64), 1 << 22),
-        CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 24),
-        UCAP=min(_next_pow2(n + 64), 1 << 21),
-    )
-
-
 def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
     """Capacities for prefix-partitioned builds: the record table folds in
     place, members drain to host, so these bound *live* data, not totals.
-    ~2.7 GB device memory at the defaults."""
+    ~1.2 GB device memory at the ceilings (human-scale PE also keeps four
+    [Lp] rank-space tables resident, so state headroom matters)."""
     n = max(int(ncand_hint), 1)
     return dict(
-        TABCAP=min(_next_pow2(n + 1024), 1 << 26),
+        TABCAP=min(_next_pow2(n + 1024), 1 << 25),
         MEMCAP=min(_next_pow2(2 * n + 64), 1 << 24),
-        CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 26),
+        CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 25),
         UCAP=min(_next_pow2(n + 64), 1 << 25),
     )
 
@@ -1392,16 +1383,13 @@ def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
                            memcap=caps["MEMCAP"], claim=caps["CLAIM"])
 
 
-@functools.partial(jax.jit, static_argnames=("MV", "Lp", "nv", "two"))
-def _pe_prep(spos, rank, R, MV: int, Lp: int, nv: int, two: bool):
-    """Expansion-phase tables in ONE device program (these were eager ops;
-    each 16-32M-element eager dispatch costs a tunnel round trip)."""
-    m1pos_ext = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), spos.astype(jnp.int32),
-         jnp.zeros(MV + 1, jnp.int32)])
-    m1rank_ext = jnp.concatenate(
-        [jnp.full(1, -1, jnp.int32), rank,
-         jnp.full(MV + 1, BIG_RANK, jnp.int32)])
+@functools.partial(jax.jit, static_argnames=("Lp", "nv", "two"),
+                   donate_argnums=(0,))
+def _pe_prep_tables(R, Lp: int, nv: int, two: bool):
+    """Rank-space lookup tables for the expansion phase.  ``R`` is
+    donated: stranded builds never read RF32 (_pe_cvalid skips the
+    orientation ranks), so returning RW twice frees R's 4 bytes/position
+    — at human scale that is ~2.7 GB of headroom."""
     RW = jnp.where(R == BIG_RANK, KEY_PAD, R.astype(jnp.uint32))
     if two:
         # RF32[i] = R[seqlength - rl - i]: a flip of the valid prefix
@@ -1409,8 +1397,22 @@ def _pe_prep(spos, rank, R, MV: int, Lp: int, nv: int, two: bool):
         RF32 = jnp.concatenate(
             [jnp.flip(R[:nv]), jnp.full(Lp - nv, BIG_RANK, jnp.int32)])
     else:
-        RF32 = R
-    return m1pos_ext, m1rank_ext, RW, RF32
+        # stranded kernels never read RF32 (statically gated); a token
+        # array keeps the call signature uniform at zero memory cost
+        RF32 = jnp.zeros(8, jnp.int32)
+    return RW, RF32
+
+
+@functools.partial(jax.jit, static_argnames=("MV",), donate_argnums=(0, 1))
+def _pe_prep_ext(spos, rank, MV: int):
+    """Padded (position, rank) streams the expansion chunks slice."""
+    m1pos_ext = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), spos.astype(jnp.int32),
+         jnp.zeros(MV + 1, jnp.int32)])
+    m1rank_ext = jnp.concatenate(
+        [jnp.full(1, -1, jnp.int32), rank,
+         jnp.full(MV + 1, BIG_RANK, jnp.int32)])
+    return m1pos_ext, m1rank_ext
 
 
 def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
@@ -1576,13 +1578,46 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
                     multi_euma=euma)
 
 
+@functools.partial(jax.jit, static_argnames=("Bcap", "Lp"),
+                   donate_argnums=(0, 1, 2, 3, 4))
+def _pe_bucket_rank(R, SPo, RKo, base, maxcl, S1, S2, S3, SSP, cnt_b,
+                    off_b, Bcap: int, Lp: int):
+    """Assign global ranks to one sorted bucket and write (position,
+    rank) into the bucket-major output arrays plus R[pos] = rank.
+
+    ``base`` is the running rank offset (device scalar, threaded through
+    launches — no per-bucket host sync); returns the advanced base and
+    the running max cluster size."""
+    j = jnp.arange(Bcap, dtype=jnp.int32)
+    valid = j < cnt_b
+    diff = (S1[1:] != S1[:-1]) | (S2[1:] != S2[:-1]) | (S3[1:] != S3[:-1])
+    start = jnp.concatenate([jnp.ones(1, bool), diff]) & valid
+    rankloc = jnp.cumsum(start.astype(jnp.int32)) - 1
+    nd = jnp.max(jnp.where(valid, rankloc + 1, 0))
+    rank = jnp.where(valid, base + rankloc, BIG_RANK)
+    _, ns = _run_bounds(start)
+    sizes = jnp.minimum(ns, cnt_b) - j
+    maxcl = jnp.maximum(maxcl, jnp.max(jnp.where(start, sizes, 0)))
+    R = R.at[jnp.where(valid, SSP, Lp)].set(rank, mode="drop",
+                                            unique_indices=True)
+    # block writes: bucket b+1's block starts at off_b + cnt_b, so its
+    # write overwrites this block's garbage tail; the last bucket's tail
+    # lies beyond n_valid and is never read
+    SPo = jax.lax.dynamic_update_slice(SPo, SSP, (off_b,))
+    RKo = jax.lax.dynamic_update_slice(RKo, rank, (off_b,))
+    return R, SPo, RKo, base + nd, maxcl
+
+
 def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
-    """Rank pass: contiguous hash slabs over both strand halves, one
-    global 4-operand sort, linear rank/R construction.  Replaces the
-    reference's mate1 suffix sort + mark_sfa_se
-    (src/emsar_functions.c:1108-1149, 1300-1306): rank == cluster id,
-    and any total order over distinct windows serves the downstream
-    orientation rules (module docstring).
+    """Rank pass: contiguous hash slabs over both strand halves, then
+    group every distinct mate1 window — one global 4-operand sort within
+    the sort budget, or a hash-prefix radix partition with per-bucket
+    sorts beyond it (human-scale transcriptomes; equal windows share all
+    hash lanes, so clusters never cross buckets and bucket-major rank
+    assignment composes exactly).  Replaces the reference's mate1 suffix
+    sort + mark_sfa_se (src/emsar_functions.c:1108-1149, 1300-1306):
+    rank == cluster id, and any total order over distinct windows serves
+    the downstream orientation rules (module docstring).
     Returns (spos, rank, max_cluster, n_valid, R)."""
     seqlength = int(tx.seqlength)
     n_fw = int(tx.borderpos) - rl + 1
@@ -1592,9 +1627,6 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
     hpad = _pad_to(n_fw, slab)
     halves = [False] + ([True] if two else [])
     Npad = hpad * len(halves)
-    if Npad > (1 << 28) + (1 << 27):
-        raise DeviceBuildUnsupported(
-            f"{Npad} mate1 windows exceed the rank-sort memory budget")
     H1 = jnp.full(Npad, CLAIM_EMPTY, jnp.uint32)
     H2 = jnp.full(Npad, CLAIM_EMPTY, jnp.uint32)
     H3 = jnp.full(Npad, CLAIM_EMPTY, jnp.uint32)
@@ -1612,16 +1644,81 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
             out0 += hpad
         n_valid = int(np.asarray(jnp.stack(nv_dev)).sum())
     ref.release_seq()  # the expansion phase only needs rank-space tables
-    with phase(f"PE dev: rank sort ({Npad} rows)", cfg.verbose):
-        S1, S2, S3, SP = _sort_payload4(H1, H2, H3, PS)
-        del H1, H2, H3, PS
-        _psync(SP)
-    with phase("PE dev: rank finish", cfg.verbose):
-        R, rank, maxcl, _ = _pe_rank_finish(S1, S2, S3, SP,
-                                            jnp.int32(n_valid), Lp=ref.Lp)
-        del S1, S2, S3
+
+    limit = min(getattr(cfg, "device_sort_limit", 1 << 28), 1 << 26)
+    if Npad <= limit:
+        with phase(f"PE dev: rank sort ({Npad} rows)", cfg.verbose):
+            S1, S2, S3, SP = _sort_payload4(H1, H2, H3, PS)
+            del H1, H2, H3, PS
+            _psync(SP)
+        with phase("PE dev: rank finish", cfg.verbose):
+            R, rank, maxcl, _ = _pe_rank_finish(S1, S2, S3, SP,
+                                                jnp.int32(n_valid),
+                                                Lp=ref.Lp)
+            del S1, S2, S3
+            maxcl_i = int(np.asarray(maxcl))
+        return SP, rank, maxcl_i, n_valid, R
+
+    # ---- partitioned rank pass (beyond the single-sort budget) ----
+    kbits = 1
+    while (Npad >> kbits) > limit and kbits < 6:
+        kbits += 1
+    while True:
+        B = 1 << kbits
+        with phase(f"PE dev: rank radix pass ({B} buckets)", cfg.verbose):
+            RANK = jnp.zeros(Npad, jnp.int32)
+            cnt_dev = []
+            for b in range(B):
+                RANK, c = _radix_rank_step(RANK, H1, PS, jnp.int32(b),
+                                           kbits=kbits)
+                cnt_dev.append(c)
+            counts = np.asarray(jnp.stack(cnt_dev))
+        maxb = int(counts.max()) if B else 0
+        if maxb <= limit or kbits >= 6:
+            break
+        kbits += 1
+        del RANK
+    if maxb > limit:
+        raise DeviceBuildUnsupported(
+            f"rank bucket of {maxb} windows exceeds the sort budget")
+    p2 = _next_pow2(max(maxb, 1 << 16))
+    Bcap = p2 if maxb > 3 * p2 // 4 else 3 * p2 // 4
+    out_size = Npad + Bcap
+    off = np.zeros(B, np.int32)
+    np.cumsum(counts[:B - 1], out=off[1:])
+    with phase("PE dev: rank radix partition", cfg.verbose):
+        dst = _radix_dst(H1, PS, RANK, jnp.asarray(off), kbits=kbits,
+                         out_size=out_size)
+        del RANK
+        P1 = _scatter_one(H1, dst, out_size=out_size)
+        del H1
+        P2 = _scatter_one(H2, dst, out_size=out_size)
+        del H2
+        P3 = _scatter_one(H3, dst, out_size=out_size)
+        del H3
+        PP = _scatter_one(PS, dst, out_size=out_size)
+        del PS, dst
+        _psync(PP)
+    with phase(f"PE dev: rank {B} bucket sorts (cap {Bcap})", cfg.verbose):
+        R = jnp.full(ref.Lp, BIG_RANK, jnp.int32)
+        SPo = jnp.full(out_size, -1, jnp.int32)
+        RKo = jnp.full(out_size, BIG_RANK, jnp.int32)
+        base = jnp.zeros((), jnp.int32)
+        maxcl = jnp.zeros((), jnp.int32)
+        for b in range(B):
+            if counts[b] == 0:
+                continue
+            S1, S2, S3, SSP, _, _ = _se_bucket_sort(
+                P1, P2, P3, PP, jnp.int32(int(off[b])),
+                jnp.int32(int(counts[b])), Bcap=Bcap, max_repeat=2)
+            R, SPo, RKo, base, maxcl = _pe_bucket_rank(
+                R, SPo, RKo, base, maxcl, S1, S2, S3, SSP,
+                jnp.int32(int(counts[b])), jnp.int32(int(off[b])),
+                Bcap=Bcap, Lp=ref.Lp)
+            del S1, S2, S3, SSP
+        del P1, P2, P3, PP
         maxcl_i = int(np.asarray(maxcl))
-    return SP, rank, maxcl_i, n_valid, R
+    return SPo, RKo, maxcl_i, n_valid, R
 
 
 @functools.partial(jax.jit, static_argnames=("Lpx", "nv", "two"),
@@ -1769,12 +1866,17 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     n_chunks = (nm_i + M - 1) // M
 
     with phase("PE dev: prep", cfg.verbose):
-        m1pos_ext, m1rank_ext, RW, RF32 = _pe_prep(
-            SPm, RKm, R, MV=MV, Lp=ref.Lp,
-            nv=int(tx.seqlength) - rl + 1, two=two)
+        # R is donated away here (stranded builds drop it entirely);
+        # m1*_ext are built only after the singleton pass frees SPs/RKs
+        # — ordering that keeps human-scale peak HBM in budget
+        RW, RF32 = _pe_prep_tables(R, Lp=ref.Lp,
+                                   nv=int(tx.seqlength) - rl + 1, two=two)
+        del R
         T32 = ref.t32(rl)
-        caps = _caps(Npos * nfl, tx.n_transcripts, nfl)
-        state = _init_state(tx.n_transcripts, nfl, caps)
+        # partitioned-scale capacities: the record table folds in place
+        # and members drain to host, so human-scale cluster-path builds
+        # (record totals far beyond any fixed table) stay in budget
+        caps = _caps_partitioned(Npos * nfl)
 
     import os as _os
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
@@ -1801,6 +1903,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                 seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
         del SPs, RKs
         _psync(dense_s)
+
+    with phase("PE dev: ext prep", cfg.verbose):
+        m1pos_ext, m1rank_ext = _pe_prep_ext(SPm, RKm, MV=MV)
+        del SPm, RKm
+        state = _init_state(tx.n_transcripts, nfl, caps)
 
     with phase("PE dev: expansion", cfg.verbose):
         import time as _time

