@@ -266,10 +266,9 @@ class DeviceRef:
             jnp.asarray(fwp), jnp.asarray(fb), Lp=Lp, borderpos=borderpos,
             out_pk=_quantize_size(Lp // 4 + 8),
             out_bb=_quantize_size(Lp // 8))
-        sepbits = np.zeros(Lp, dtype=bool)
-        sepbits[:L] = (tx.seq[:L] == ord("@")) | (tx.seq[:L] == ord("$"))
-        sepbits[L:] = True
-        self._sepbits_host = np.packbits(sepbits)
+        self._seppos_host = np.flatnonzero(
+            (tx.seq[:L] == ord("@")) | (tx.seq[:L] == ord("$"))
+        ).astype(np.int32)
         cu = tx.cuml.astype(np.int32)
         # pad with an out-of-range sentinel: cuml is only ever scattered
         # with mode="drop" (_tid_forward), so pad rows are inert and the
@@ -301,7 +300,8 @@ class DeviceRef:
     def release_seq(self):
         """Free the packed sequence tables (several GB at human scale)
         once hashing is done — rank-space tables don't need them.  nsep
-        stays constructible (it derives from the retained sepbits)."""
+        stays constructible (it derives from the retained separator
+        positions)."""
         self._p16 = None
         self._badp = None
         self._packed = None
@@ -310,9 +310,12 @@ class DeviceRef:
     @property
     def nsep(self):
         """nsep[k] = index of the first '@'/'$' separator at or after k
-        (PE only; 4 bytes/position, so built lazily)."""
+        (PE only; 4 bytes/position, so built lazily).  Built from the
+        ~2*ntid separator POSITIONS (a tiny scatter + one reverse
+        cummin) — the old packed-bitfield expansion's repeat-by-8
+        intermediate tiles to 16x its logical size at human scale."""
         if self._nsep is None:
-            self._nsep = _nsep_kernel(jnp.asarray(self._sepbits_host),
+            self._nsep = _nsep_kernel(jnp.asarray(self._seppos_host),
                                       self.Lp)
         return self._nsep
 
@@ -354,11 +357,15 @@ def _unpack_ref(packed, badbits, Lp: int):
 
 
 @functools.partial(jax.jit, static_argnames=("Lp",))
-def _nsep_kernel(sepbits, Lp: int):
-    i = jnp.arange(Lp, dtype=jnp.int32)
-    s8 = jnp.repeat(sepbits[:Lp // 8].astype(jnp.uint8), 8)  # not a gather
-    sep = ((s8 >> (7 - (i & 7)).astype(jnp.uint8)) & 1) == 1
-    return jax.lax.cummin(jnp.where(sep, i, jnp.int32(Lp)), reverse=True)
+def _nsep_kernel(seppos, Lp: int):
+    """nsep from the separator position list: positions [L, Lp) count as
+    separators (sentinel floor = Lp keeps in-range slices monotone)."""
+    marks = jnp.full(Lp, jnp.int32(Lp))
+    last = seppos[-1] if seppos.shape[0] else jnp.int32(0)
+    marks = jnp.where(jnp.arange(Lp, dtype=jnp.int32) > last,
+                      jnp.arange(Lp, dtype=jnp.int32), marks)
+    marks = marks.at[seppos].set(seppos, mode="drop")
+    return jax.lax.cummin(marks, reverse=True)
 
 
 @functools.partial(jax.jit,
@@ -389,38 +396,37 @@ def _t32_kernel(tidf, Lp: int, borderpos: int, seqlength: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slab", "rc_half", "n_half", "seqlength",
-                              "readlength"),
+    jax.jit, static_argnames=("slab", "rc_half", "readlength"),
     donate_argnums=(0, 1, 2, 3))
-def _pe_hash_slab(H1, H2, H3, PS, p16, badp, s0, out0,
-                  slab: int, rc_half: bool, n_half: int, seqlength: int,
-                  readlength: int):
+def _pe_hash_slab(H1, H2, H3, PS, packed, badbits, s0, out0, n_half,
+                  seqlength, slab: int, rc_half: bool, readlength: int):
     """Literal mate1 window hash + position for rank-pass indices
     [s0, s0+slab) of one strand half, written at out0.  fw half: pos = i
-    ascending (plain slices); rc half: pos = seqlength - rl - i
-    descending (flipped slices).  Invalid windows carry the all-ones
-    identity and pos -1."""
+    ascending; rc half: pos = seqlength - rl - i descending (flipped
+    slices).  Invalid windows carry the all-ones identity and pos -1.
+
+    Window words unpack slab-locally from the 2-bit code bytes
+    (_p16_range) — materializing the global p16/badp tables costs 8
+    bytes/base in HBM, and the repeat-by-4 unpack trick's [Lp/4, 4]
+    intermediate tiles to 32x its logical size at full scale (86 GB at
+    337 Mbp; XLA fuses it at slab scale but not there)."""
     rl = readlength
     W = pack.n_words(rl)
     i = s0 + jnp.arange(slab, dtype=jnp.int32)
     if rc_half:
         base = seqlength - rl - s0 - (slab - 1)
-        words = [jnp.flip(jax.lax.dynamic_slice(p16, (base + 16 * w,),
-                                                (slab,)))
+        words = [jnp.flip(_p16_range(packed, base + 16 * w, slab))
                  for w in range(W)]
         pos = seqlength - rl - i
-        b0 = jnp.flip(jax.lax.dynamic_slice(badp, (base,), (slab,)))
-        b1 = jnp.flip(jax.lax.dynamic_slice(badp, (base + rl,), (slab,)))
+        badw = jnp.flip(_bad_win(badbits, base, slab, rl))
     else:
-        words = [jax.lax.dynamic_slice(p16, (s0 + 16 * w,), (slab,))
-                 for w in range(W)]
+        words = [_p16_range(packed, s0 + 16 * w, slab) for w in range(W)]
         pos = i
-        b0 = jax.lax.dynamic_slice(badp, (s0,), (slab,))
-        b1 = jax.lax.dynamic_slice(badp, (s0 + rl,), (slab,))
+        badw = _bad_win(badbits, s0, slab, rl)
     rem = rl - 16 * (W - 1)
     if rem < 16:
         words[W - 1] = words[W - 1] >> jnp.uint32(2 * (16 - rem))
-    valid = (i < n_half) & (b1 - b0 == 0)
+    valid = (i < n_half) & (badw == 0)
     h1, h2, h3 = _hash3_cols(words)
     h1 = jnp.where(valid, h1, CLAIM_EMPTY)
     h2 = jnp.where(valid, h2, CLAIM_EMPTY)
@@ -1084,16 +1090,20 @@ def _p16_range(packed, q, n: int):
 def _bad_win(badbits, s0, n: int, rl: int):
     """Count of non-ACGT bases in window [i, i+rl) for i in [s0, s0+n):
     slab-local exclusive cumsum over the bad bitfield — the global [Lp+1]
-    prefix table this replaces was 4 bytes/base."""
-    nbits = n + _pad_to(rl, 8) + 8
-    by = jax.lax.dynamic_slice(badbits, (s0 >> 3,), (nbits // 8,))
+    prefix table this replaces was 4 bytes/base.  ``s0`` may be any
+    alignment (the PE rc half starts at arbitrary offsets); the byte
+    slice starts at the aligned prefix and the final slices drop the
+    s0 & 7 misalignment."""
+    a = s0 & 7
+    nbits = n + _pad_to(rl, 8) + 16
+    by = jax.lax.dynamic_slice(badbits, ((s0 - a) >> 3,), (nbits // 8,))
     b8 = jnp.repeat(by.astype(jnp.uint8), 8)
     idx = jnp.arange(nbits, dtype=jnp.int32)
     bits = (b8 >> (7 - (idx & 7)).astype(jnp.uint8)) & 1
     ex = jnp.concatenate([jnp.zeros(1, jnp.int32),
                           jnp.cumsum(bits.astype(jnp.int32))])
-    return (jax.lax.dynamic_slice(ex, (rl,), (n,))
-            - jax.lax.dynamic_slice(ex, (0,), (n,)))
+    return (jax.lax.dynamic_slice(ex, (a + rl,), (n,))
+            - jax.lax.dynamic_slice(ex, (a,), (n,)))
 
 
 def _slab_words_packed(packed, s0, slab: int, rl: int, seqlength,
@@ -1637,9 +1647,10 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
         for rc in halves:
             for s0 in range(0, hpad, slab):
                 H1, H2, H3, PS, c = _pe_hash_slab(
-                    H1, H2, H3, PS, ref.p16, ref.badp, jnp.int32(s0),
-                    jnp.int32(out0 + s0), slab=slab, rc_half=rc,
-                    n_half=n_fw, seqlength=seqlength, readlength=rl)
+                    H1, H2, H3, PS, ref._packed, ref._badbits,
+                    jnp.int32(s0), jnp.int32(out0 + s0), jnp.int32(n_fw),
+                    jnp.int32(seqlength), slab=slab, rc_half=rc,
+                    readlength=rl)
                 nv_dev.append(c)
             out0 += hpad
         n_valid = int(np.asarray(jnp.stack(nv_dev)).sum())
