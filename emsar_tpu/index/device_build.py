@@ -1413,6 +1413,11 @@ def _pe_prep_tables(R, Lp: int, nv: int, two: bool):
     return RW, RF32
 
 
+@functools.partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+def _shrink(a, n: int):
+    return jax.lax.slice(a, (0,), (n,))
+
+
 @functools.partial(jax.jit, static_argnames=("MV",), donate_argnums=(0, 1))
 def _pe_prep_ext(spos, rank, MV: int):
     """Padded (position, rank) streams the expansion chunks slice."""
@@ -1861,6 +1866,18 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
             spos, rank, jnp.int32(nvalid_i))
         ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
+        # the compacted streams live in full-size buffers; shrink to the
+        # occupied prefix (rows beyond are already sentinels) — at human
+        # scale the four full buffers alone are ~6.8 GB
+        N_full = SPs.shape[0]
+        ns_cap = min(_quantize_size(ns_i + 256), N_full)
+        nm_cap = min(_quantize_size(nm_i + 256), N_full)
+        if ns_cap < N_full:
+            SPs = _shrink(SPs, ns_cap)
+            RKs = _shrink(RKs, ns_cap)
+        if nm_cap < N_full:
+            SPm = _shrink(SPm, nm_cap)
+            RKm = _shrink(RKm, nm_cap)
 
     V = _next_pow2(max(maxcl_i + 1, 8))
     if V * nfl * 2 > max(int(cfg.pe_chunk_candidates), 4 * nfl):
