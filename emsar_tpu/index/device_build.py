@@ -1637,8 +1637,10 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
     seqlength = int(tx.seqlength)
     n_fw = int(tx.borderpos) - rl + 1
     # slab <= pad(n_fw) keeps every rc flipped slice in bounds
-    # (pad_to(n_fw, slab) <= 2*n_fw <= seqlength - rl + 1)
-    slab = min(_next_pow2(n_fw), 1 << 25)
+    # (pad_to(n_fw, slab) <= 2*n_fw <= seqlength - rl + 1); the env
+    # override lets tests exercise the multi-slab path at small scale
+    slab = min(_next_pow2(n_fw),
+               int(os.environ.get("EMSAR_PE_SLAB", 1 << 25)))
     hpad = _pad_to(n_fw, slab)
     halves = [False] + ([True] if two else [])
     Npad = hpad * len(halves)
