@@ -490,8 +490,9 @@ def bench_multisample(rsh, aln, platform, n_samples=16):
         ll_b = _host_loglik(prob, fpkm_col(
             os.path.join(out_bat, f"s.{i}.fpkm")))
         rel_gap = max(rel_gap, abs(ll_a - ll_b) / max(abs(ll_a), 1.0))
-    log(f"multisample x{n_samples}: per-sample loop {t_loop:.2f}s, "
-        f"batched {t_bat:.2f}s ({n_samples / t_bat:.2f} samples/s); "
+    log(f"multisample x{n_samples}: per-sample loop {t_loop:.2f}s "
+        f"(ingest prefetch overlapped), batched {t_bat:.2f}s; best "
+        f"{n_samples / min(t_loop, t_bat):.2f} samples/s; "
         f"loop-vs-batched max relative loglik gap {rel_gap:.2e}")
     return t_loop, t_bat, rel_gap
 
@@ -635,7 +636,7 @@ def main():
             "build_pe_byte_identical": bool(identical_pe),
             "ms16_loop_s": round(t_ms_loop, 2),
             "ms16_batched_s": round(t_ms_bat, 2),
-            "ms16_samples_per_s": round(16 / t_ms_bat, 2),
+            "ms16_samples_per_s": round(16 / min(t_ms_bat, t_ms_loop), 2),
             "ms16_loop_vs_batched_loglik_relgap": float(f"{ms_diff:.2e}"),
             "scale_quantify": scale,
         }}))
