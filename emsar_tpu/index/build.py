@@ -243,10 +243,19 @@ def _write_sfa(path: str, positions: np.ndarray) -> None:
             fh.write(f"{i}\t{p}\n")
 
 
-def _warn_fallback(cfg, backend: str, reason: str) -> None:
+def _warn_fallback(cfg, backend: str, reason: str, tx=None) -> None:
     """One line at default verbosity whenever the device-resident builder
     is bypassed — the host backends are up to 25x slower on PE builds, so
-    a silent drop would look like a hang (VERDICT round-3 weak item 5)."""
+    a silent drop would look like a hang (VERDICT round-3 weak item 5).
+
+    At human transcriptome scale the host backends are not a fallback but
+    a multi-day trap; raise instead so the user can retune (chunk budget,
+    fragment range) rather than discover the stall hours later."""
+    if tx is not None and int(getattr(tx, "seqlength", 0)) > 200_000_000:
+        raise RuntimeError(
+            f"device builder failed ({reason}) and the transcriptome is "
+            f"too large for the host '{backend}' fallback; adjust the "
+            f"build parameters or set EMSAR_TPU_BUILD_BACKEND explicitly")
     if cfg.verbose > 0:
         print(f"[emsar-build] falling back to the '{backend}' backend: "
               f"{reason}", file=sys.stderr, flush=True)
@@ -279,7 +288,7 @@ def build_se_index(tx: Transcriptome, readlength_min: int, readlength_max: int,
                     tx, readlength_min, readlength_max, cfg)
             except (device_build.DeviceBuildUnsupported,
                     device_build.DeviceBuildOverflow) as e:
-                _warn_fallback(cfg, "jax", str(e))
+                _warn_fallback(cfg, "jax", str(e), tx=tx)
         else:
             _warn_fallback(cfg, "jax", "-T/--print_sfa requested (the "
                            "device builder never materializes the sfa)")
@@ -360,7 +369,7 @@ def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
                 return device_build.build_pe_index_device(tx, readlength, cfg)
             except (device_build.DeviceBuildUnsupported,
                     device_build.DeviceBuildOverflow) as e:
-                _warn_fallback(cfg, "jax", str(e))
+                _warn_fallback(cfg, "jax", str(e), tx=tx)
         else:
             _warn_fallback(cfg, "jax", "-T/--print_sfa requested (the "
                            "device builder never materializes the sfa)")

@@ -104,6 +104,19 @@ def test_pe_cluster_chunk_path_golden(tmp_path, monkeypatch):
               pe=True, strand="ssfr", max_frag=55, min_frag=1)
 
 
+def test_pe_multislab_hash_golden(tmp_path, monkeypatch):
+    """Pin the multi-slab rank hash pass (human-scale slab chunking —
+    slab boundaries, unaligned rc bad-bit windows) at small scale via
+    the EMSAR_PE_SLAB override, through both expansion paths."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setenv("EMSAR_PE_SLAB", "1024")
+    _run_case(tmp_path, np.random.default_rng(25), n=25, readlength=21,
+              pe=True, max_frag=70, min_frag=1)
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(26), n=25, readlength=21,
+              pe=True, strand="ssfr", max_frag=70, min_frag=1)
+
+
 def test_se_numpy_backend_golden(tmp_path):
     _run_case(tmp_path, np.random.default_rng(17), n=20, readlength=20,
               pe=False, backend="numpy")
