@@ -616,6 +616,17 @@ def main():
     # human-scale quantify (BASELINE config 3); None on a cold cache
     scale = bench_scale_quantify(platform)
 
+    # human-scale build results (produced by tools/run_scale_build.py /
+    # the round's scale runs — a 337 Mbp build is too heavy to re-run
+    # inside every bench invocation, so the measured numbers ride along
+    # as a cached record with their date)
+    scale_build = None
+    sb_path = os.path.join(CACHE, "scale_build.json")
+    if os.path.exists(sb_path):
+        with open(sb_path) as fh:
+            scale_build = json.load(fh)
+        scale_build["cached"] = True
+
     speedup = float(np.sqrt(se_speedup * pe_speedup))
     print(json.dumps({
         "metric": "e2e_quantify_speedup_vs_ref_C",
@@ -639,6 +650,7 @@ def main():
             "ms16_samples_per_s": round(16 / min(t_ms_bat, t_ms_loop), 2),
             "ms16_loop_vs_batched_loglik_relgap": float(f"{ms_diff:.2e}"),
             "scale_quantify": scale,
+            "scale_build": scale_build,
         }}))
 
 
