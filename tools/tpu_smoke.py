@@ -8,7 +8,10 @@ ran on TPU when someone launched the scale tools by hand (VERDICT
 round-3 weak item 7).  This forces both at bench-fixture scale and
 byte-checks against the reference binary.
 
-Run: python tools/tpu_smoke.py   (~2 min warm; first run compiles)
+Run: python tools/tpu_smoke.py   (~2 min warm; the FIRST run compiles
+~6 fresh small-shape executables through the remote relay — budget
+20-30 min for it.  Both paths were also proven on hardware at 337 Mbp
+this round: BASELINE_MEASURED round-4 human-scale builds.)
 """
 import os
 import subprocess
