@@ -145,3 +145,21 @@ def test_posbias_surface(tmp_path):
     # frequencies must sum to ~TotalReadCount (each read adds weight 1)
     tot5 = sum(float(ln.split("\t")[1]) for ln in lines[1:])
     assert tot5 > 0
+
+
+def test_fallback_guard_refuses_host_path_at_scale():
+    """A device-builder failure on a human-scale transcriptome must raise
+    rather than silently dropping to the (multi-day) host backend."""
+    import pytest
+    from emsar_tpu.config import QuantConfig
+    from emsar_tpu.index.build import _warn_fallback
+
+    class FakeTx:
+        seqlength = 300_000_001
+
+    cfg = QuantConfig(verbose=0)
+    with pytest.raises(RuntimeError, match="too large"):
+        _warn_fallback(cfg, "jax", "synthetic failure", tx=FakeTx())
+    # small transcriptomes still fall through (warning only)
+    FakeTx.seqlength = 1_000_000
+    _warn_fallback(cfg, "jax", "synthetic failure", tx=FakeTx())
