@@ -534,12 +534,33 @@ def bench_scale_quantify(platform):
     _, gdiff = tpm_maxdiff(os.path.join(CACHE, "refscaleout", "s.0.fpkm"),
                            os.path.join(outdir, "s.0.fpkm"))
     n_reads = 3_000_000
+
+    # EM iterations/s at this scale (the BASELINE.json headline metric):
+    # one library-path run exposes the solver block count
+    from emsar_tpu.io.rsh import RshIndex
+    from emsar_tpu.ingest import native as native_mod
+    from emsar_tpu.model.quantify import quantify_sample
+    index = RshIndex.load(rsh)
+    nc = native_mod.NativeCollapser(index)
+    counts = nc.collapse_file(aln, "bowtie", False, 0, 100,
+                              index.min_fraglength, index.max_fraglength,
+                              None)
+    cfgq = QuantConfig(verbose=0)
+    cfgq.strand = StrandType.parse("ns", False)
+    cfgq.solver_dtype = "float64" if platform == "cpu" else "float32"
+    t0 = time.perf_counter()
+    res = quantify_sample(index, counts, cfgq)
+    t_quant = time.perf_counter() - t0
+    em_iters_per_s = res.em_blocks * 8 * 3 / t_quant if t_quant > 0 else 0.0
+
     log(f"scale quantify: reference {t_ref:.2f}s ours {t_ours:.2f}s "
         f"({t_ref / t_ours:.2f}x); {n_reads / t_ours / 1e6:.2f}M reads/s "
-        f"e2e; gene TPM maxdiff {gdiff:.4f}")
+        f"e2e; {em_iters_per_s:.0f} EM iters/s (solve {t_quant:.2f}s, "
+        f"{res.em_blocks} blocks); gene TPM maxdiff {gdiff:.4f}")
     return dict(ref_s=round(t_ref, 2), ours_s=round(t_ours, 2),
                 speedup=round(t_ref / t_ours, 3),
                 reads_per_s=round(n_reads / t_ours),
+                em_iters_per_s=round(em_iters_per_s),
                 gene_tpm_maxdiff=round(gdiff, 4))
 
 
