@@ -545,17 +545,20 @@ def bench_scale_quantify(platform):
     counts = nc.collapse_file(aln, "bowtie", False, 0, 100,
                               index.min_fraglength, index.max_fraglength,
                               None)
+    from emsar_tpu.utils import timing
     cfgq = QuantConfig(verbose=0)
     cfgq.strand = StrandType.parse("ns", False)
     cfgq.solver_dtype = "float64" if platform == "cpu" else "float32"
-    t0 = time.perf_counter()
+    timing.reset_phases()
     res = quantify_sample(index, counts, cfgq)
-    t_quant = time.perf_counter() - t0
-    em_iters_per_s = res.em_blocks * 8 * 3 / t_quant if t_quant > 0 else 0.0
+    # EM phase only (module decomposition / problem build are host work)
+    t_em = sum(v for k, v in timing.phase_times().items()
+               if k.startswith("EM")) or 1e-9
+    em_iters_per_s = res.em_blocks * 8 * 3 / t_em
 
     log(f"scale quantify: reference {t_ref:.2f}s ours {t_ours:.2f}s "
         f"({t_ref / t_ours:.2f}x); {n_reads / t_ours / 1e6:.2f}M reads/s "
-        f"e2e; {em_iters_per_s:.0f} EM iters/s (solve {t_quant:.2f}s, "
+        f"e2e; {em_iters_per_s:.0f} EM iters/s (EM phase {t_em:.2f}s, "
         f"{res.em_blocks} blocks); gene TPM maxdiff {gdiff:.4f}")
     return dict(ref_s=round(t_ref, 2), ours_s=round(t_ours, 2),
                 speedup=round(t_ref / t_ours, 3),
