@@ -551,19 +551,22 @@ def bench_scale_quantify(platform):
     cfgq.solver_dtype = "float64" if platform == "cpu" else "float32"
     timing.reset_phases()
     res = quantify_sample(index, counts, cfgq)
-    # EM phase only (module decomposition / problem build are host work)
+    # the "EM solve" phase covers problem build + device solve + f64
+    # polish; at this scale the 167k-transcript modules converge in a
+    # single solver block, so raw iters/s is not meaningful — report the
+    # phase time (the reference's MLE phase is the bulk of its ~25 s)
     t_em = sum(v for k, v in timing.phase_times().items()
                if k.startswith("EM")) or 1e-9
-    em_iters_per_s = res.em_blocks * 8 * 3 / t_em
 
     log(f"scale quantify: reference {t_ref:.2f}s ours {t_ours:.2f}s "
         f"({t_ref / t_ours:.2f}x); {n_reads / t_ours / 1e6:.2f}M reads/s "
-        f"e2e; {em_iters_per_s:.0f} EM iters/s (EM phase {t_em:.2f}s, "
-        f"{res.em_blocks} blocks); gene TPM maxdiff {gdiff:.4f}")
+        f"e2e; EM-solve phase {t_em:.2f}s ({res.em_blocks} blocks); "
+        f"gene TPM maxdiff {gdiff:.4f}")
     return dict(ref_s=round(t_ref, 2), ours_s=round(t_ours, 2),
                 speedup=round(t_ref / t_ours, 3),
                 reads_per_s=round(n_reads / t_ours),
-                em_iters_per_s=round(em_iters_per_s),
+                em_solve_phase_s=round(t_em, 2),
+                em_blocks=int(res.em_blocks),
                 gene_tpm_maxdiff=round(gdiff, 4))
 
 
