@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import subprocess
 import sys
@@ -251,6 +252,89 @@ def ensure_pe_fixture():
 # --------------------------------------------------------------------------
 
 
+_DATE_RE = re.compile(r"(\d\d)/(\d\d),(\d\d):(\d\d):(\d\d)")
+
+
+def ref_phase_split(rsh, aln, extra_flags=(), threads="2"):
+    """Run the reference once at default verbosity and split its wall time
+    into phases from the second-resolution `date +%m/%d,%T` stamps it
+    prints after each phase header (src/emsar_main.c:348,378,403,444,453).
+
+    Returns dict(total, ingest, graph, mle) seconds: ingest = alignment
+    streaming + read counting; graph = rsh scan + CT/TC + module
+    decomposition + SC/ST; mle = the NUM_ROUND pattern-search rounds
+    (round-1 stamp to the compute_iEUMA stamp)."""
+    t0 = time.perf_counter()
+    out = subprocess.run([REF_EMSAR, "-p", threads, *extra_flags, "-I", rsh,
+                          os.path.join(CACHE, "refout_v"), "s", aln],
+                         check=True, capture_output=True, text=True)
+    total = time.perf_counter() - t0
+    stamps = {}
+    label = ""
+    for ln in out.stdout.splitlines():
+        m = _DATE_RE.search(ln)
+        head = ln[:m.start()].strip() if m else ln.strip()
+        if head:
+            label = head  # "round 1/4..." prints its date on the next line
+        if m and label and label not in stamps:
+            h, mi, s = int(m.group(3)), int(m.group(4)), int(m.group(5))
+            stamps[label] = h * 3600 + mi * 60 + s
+    def find(prefix):
+        for k, v in stamps.items():
+            if k.startswith(prefix):
+                return v
+        return None
+    t_aln = find("reading alignment file")
+    t_scan = find("scanning rsh array")
+    t_mle = find("round 1/")
+    t_eff = find("computing effective length")
+    def span(a, b):
+        if a is None or b is None:
+            return None
+        return (b - a) % 86400
+    return dict(total=round(total, 2), ingest=span(t_aln, t_scan),
+                graph=span(t_scan, t_mle), mle=span(t_mle, t_eff))
+
+
+def build_host_problem(index, counts):
+    """The host-side solver problem for a (index, counts) pair — the
+    common objective used for likelihood-gap equality checks between
+    solver outputs (maximizer selection drifts gene TPM on collinear
+    isoform manifolds; the likelihood is the well-defined metric)."""
+    from emsar_tpu.model.modules import (build_segment_graph,
+                                         decompose_modules)
+    from emsar_tpu.model.quantify import compute_wf
+    from emsar_tpu.model.solver import build_problem
+
+    wf = compute_wf(index, counts.fraglength_counts)
+    adj = np.concatenate([index.single_euma.astype(np.float64) @ wf,
+                          index.multi_euma.astype(np.float64) @ wf])
+    rc = counts.readcount_per_cid()
+    graph = build_segment_graph(index, adj, rc)
+    modules = decompose_modules(graph)
+    eumaps = adj / 1e3 * (counts.total_read_count / 1e6)
+    return build_problem(graph, modules, eumaps, rc)
+
+
+def fpkm_col(path):
+    out = []
+    with open(path) as fh:
+        next(fh)
+        for ln in fh:
+            out.append(float(ln.split("\t")[1]))
+    return np.asarray(out)
+
+
+def loglik_gap(problem, ref_fpkm_path, our_fpkm_path):
+    """Signed relative log-likelihood advantage of ours over the
+    reference under the same Poisson objective (>0 = ours found a
+    higher-likelihood point; |gap| <= ~1e-6 = same maximizer value)."""
+    from emsar_tpu.model.quantify import _host_loglik
+    ll_ref = _host_loglik(problem, fpkm_col(ref_fpkm_path))
+    ll_ours = _host_loglik(problem, fpkm_col(our_fpkm_path))
+    return (ll_ours - ll_ref) / max(abs(ll_ref), 1.0)
+
+
 def time_reference(rsh, aln, extra_flags=()):
     best = float("inf")
     for p in ("2", "1"):
@@ -454,10 +538,7 @@ def bench_multisample(rsh, aln, platform, n_samples=16):
     from emsar_tpu.config import QuantConfig as QC, StrandType as ST
     from emsar_tpu.io.rsh import RshIndex
     from emsar_tpu.ingest import native as native_mod
-    from emsar_tpu.model.modules import (build_segment_graph,
-                                         decompose_modules)
-    from emsar_tpu.model.quantify import compute_wf, _host_loglik
-    from emsar_tpu.model.solver import build_problem
+    from emsar_tpu.model.quantify import _host_loglik
 
     cfgq = QC(verbose=0)
     cfgq.strand = ST.parse("ns", False)
@@ -468,23 +549,7 @@ def bench_multisample(rsh, aln, platform, n_samples=16):
         counts = nc.collapse_file(paths[i], "bowtie", False, 0,
                                   cfgq.max_repeat, cfgq.min_fraglength,
                                   cfgq.max_fraglength, None)
-        wf = compute_wf(index, counts.fraglength_counts)
-        adj = np.concatenate([index.single_euma.astype(np.float64) @ wf,
-                              index.multi_euma.astype(np.float64) @ wf])
-        rc = counts.readcount_per_cid()
-        graph = build_segment_graph(index, adj, rc)
-        modules = decompose_modules(graph)
-        eumaps = adj / 1e3 * (counts.total_read_count / 1e6)
-        prob = build_problem(graph, modules, eumaps, rc)
-
-        def fpkm_col(p):
-            out = []
-            with open(p) as fh:
-                next(fh)
-                for ln in fh:
-                    out.append(float(ln.split("\t")[1]))
-            return np.asarray(out)
-
+        prob = build_host_problem(index, counts)
         ll_a = _host_loglik(prob, fpkm_col(
             os.path.join(out_loop, f"s.{i}.fpkm")))
         ll_b = _host_loglik(prob, fpkm_col(
@@ -535,6 +600,12 @@ def bench_scale_quantify(platform):
                            os.path.join(outdir, "s.0.fpkm"))
     n_reads = 3_000_000
 
+    # reference per-phase split (the BASELINE "EM-solve throughput vs
+    # 16-thread C" headline needs the reference's MLE-phase time, not its
+    # end-to-end): parse the date stamps it prints between phases
+    ref_ph = ref_phase_split(rsh, aln)
+    log(f"scale quantify reference phases: {ref_ph}")
+
     # EM iterations/s at this scale (the BASELINE.json headline metric):
     # one library-path run exposes the solver block count
     from emsar_tpu.io.rsh import RshIndex
@@ -553,21 +624,156 @@ def bench_scale_quantify(platform):
     res = quantify_sample(index, counts, cfgq)
     # the "EM solve" phase covers problem build + device solve + f64
     # polish; at this scale the 167k-transcript modules converge in a
-    # single solver block, so raw iters/s is not meaningful — report the
-    # phase time (the reference's MLE phase is the bulk of its ~25 s)
+    # single solver block, so raw iters/s alone is not meaningful — report
+    # the phase time against the reference's MLE phase, plus a
+    # fixed-iteration per-chip EM-iteration wall time on the same problem
     t_em = sum(v for k, v in timing.phase_times().items()
                if k.startswith("EM")) or 1e-9
+    em_speedup = (ref_ph["mle"] / t_em) if ref_ph.get("mle") else None
+
+    # likelihood-gap cross-check: the gene TPM maxdiff must be maximizer
+    # selection, not solver error (round-4 weak item 4)
+    prob = build_host_problem(index, counts)
+    ll_gap = loglik_gap(prob, os.path.join(CACHE, "refscaleout", "s.0.fpkm"),
+                        os.path.join(outdir, "s.0.fpkm"))
+
+    # fixed-iteration EM block at the real 167k-transcript scale (the
+    # __graft_entry__.entry shape): 16 fused iterations per launch
+    import jax
+    import jax.numpy as jnp
+    f32 = np.float32
+    n_seg, n_tx = len(prob.eumaps), prob.n_transcripts
+    ITERS = 16
+
+    @jax.jit
+    def em_block(edge_cid, edge_tid, edge_mult, reads, inv_denom, theta):
+        def em_iter(th):
+            s = jax.ops.segment_sum(edge_mult * th[edge_tid], edge_cid,
+                                    num_segments=n_seg)
+            ratio = jnp.where(s > 0, reads / jnp.where(s > 0, s, 1.0), 0.0)
+            num = jax.ops.segment_sum(edge_mult * ratio[edge_cid], edge_tid,
+                                      num_segments=n_tx)
+            return th * num * inv_denom
+        return jax.lax.fori_loop(0, ITERS, lambda _, th: em_iter(th), theta)
+
+    inv_denom = np.where(prob.denom > 0,
+                         1.0 / np.where(prob.denom > 0, prob.denom, 1.0),
+                         0.0).astype(f32)
+    theta0 = np.where(prob.denom > 0, 1.0, 0.0).astype(f32)
+    args = [jax.device_put(a) for a in
+            (prob.edge_cid, prob.edge_tid, prob.edge_mult.astype(f32),
+             prob.reads.astype(f32), inv_denom, theta0)]
+    jax.block_until_ready(em_block(*args))
+    t_it = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(em_block(*args))
+        t_it = min(t_it, time.perf_counter() - t0)
+    em_iters_per_s = ITERS / t_it
 
     log(f"scale quantify: reference {t_ref:.2f}s ours {t_ours:.2f}s "
         f"({t_ref / t_ours:.2f}x); {n_reads / t_ours / 1e6:.2f}M reads/s "
-        f"e2e; EM-solve phase {t_em:.2f}s ({res.em_blocks} blocks); "
-        f"gene TPM maxdiff {gdiff:.4f}")
+        f"e2e; EM-solve phase {t_em:.2f}s ({res.em_blocks} blocks) vs "
+        f"reference MLE phase {ref_ph.get('mle')}s "
+        f"({em_speedup and round(em_speedup, 2)}x); fixed-iteration EM "
+        f"{em_iters_per_s:.1f} iters/s at {len(prob.edge_cid)} edges / "
+        f"{n_tx} tx; gene TPM maxdiff {gdiff:.4f}; loglik advantage "
+        f"{ll_gap:.2e}")
     return dict(ref_s=round(t_ref, 2), ours_s=round(t_ours, 2),
                 speedup=round(t_ref / t_ours, 3),
                 reads_per_s=round(n_reads / t_ours),
                 em_solve_phase_s=round(t_em, 2),
                 em_blocks=int(res.em_blocks),
+                ref_phases=ref_ph,
+                em_phase_speedup=em_speedup and round(em_speedup, 2),
+                em_iters_per_s_167k=round(em_iters_per_s, 1),
+                em_edges=int(len(prob.edge_cid)),
+                loglik_rel_advantage=float(f"{ll_gap:.3e}"),
                 gene_tpm_maxdiff=round(gdiff, 4))
+
+
+def bench_scale_pe_quantify(platform):
+    """BASELINE config-4's quantify half: PE BAM at human scale (337 Mbp /
+    167k transcripts / 2M pairs / 4.76M pair alignments = 9.5M BAM
+    records) against the byte-identical F290-300 human index.  Fixture:
+    tools/make_scale_pe_reads.py; skipped when absent."""
+    rsh = os.path.join(CACHE, "ourscale_pe290.rsh")
+    bam = os.path.join(CACHE, "scale_pe.bam")
+    if not (os.path.exists(rsh) and os.path.exists(bam)):
+        log("scale PE quantify fixtures absent; skipping (see tools/"
+            "make_scale_pe_reads.py)")
+        return None
+    t_ref = float("inf")
+    for p in ("2",):
+        t0 = time.perf_counter()
+        subprocess.run([REF_EMSAR, "-q", "-p", p, "-P", "-B", "-s", "ssfr",
+                        "-I", rsh, os.path.join(CACHE, "refscalepe_out"),
+                        "s", bam], check=True, capture_output=True)
+        t_ref = min(t_ref, time.perf_counter() - t0)
+        log(f"scale PE quantify reference -p {p}: {t_ref:.2f}s")
+    ref_ph = ref_phase_split(rsh, bam, extra_flags=("-P", "-B", "-s",
+                                                    "ssfr"))
+    log(f"scale PE quantify reference phases: {ref_ph}")
+
+    from emsar_tpu.config import QuantConfig, StrandType
+    from emsar_tpu.io.rsh import RshIndex
+    from emsar_tpu.io.outputs import write_fpkm
+    from emsar_tpu.ingest import native as native_mod
+    from emsar_tpu.model.quantify import quantify_sample
+    from emsar_tpu.utils import timing
+
+    cfg = QuantConfig(verbose=0, pe=True, aln_format="bam")
+    cfg.strand = StrandType.parse("ssfr", True)
+    cfg.solver_dtype = "float64" if platform == "cpu" else "float32"
+    index = RshIndex.load(rsh)
+    cfg.min_fraglength = index.min_fraglength
+    cfg.max_fraglength = index.max_fraglength
+    nc = native_mod.NativeCollapser(index)
+    outdir = os.path.join(CACHE, "ourscalepe_out")
+    os.makedirs(outdir, exist_ok=True)
+    best = None
+    for rep in range(2):
+        timing.reset_phases()
+        t0 = time.perf_counter()
+        counts = nc.collapse_file(bam, "bam", True, 0, cfg.max_repeat,
+                                  cfg.min_fraglength, cfg.max_fraglength,
+                                  [index.readlength])
+        t_ingest = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        result = quantify_sample(index, counts, cfg)
+        t_quant = time.perf_counter() - t1
+        write_fpkm(os.path.join(outdir, "s.0.fpkm"), index.names,
+                   result.fpkm_rounds, result.ieuma,
+                   result.total_read_count, 0)
+        dt = time.perf_counter() - t0
+        log(f"scale PE quantify ours rep{rep}: {dt:.2f}s (ingest "
+            f"{t_ingest:.2f}, quantify {t_quant:.2f})")
+        cur = dict(total=dt, ingest=t_ingest, quant=t_quant,
+                   reads=counts.total_read_count)
+        if best is None or cur["total"] < best["total"]:
+            best = cur
+    _, gdiff = tpm_maxdiff(
+        os.path.join(CACHE, "refscalepe_out", "s.0.fpkm"),
+        os.path.join(outdir, "s.0.fpkm"))
+    prob = build_host_problem(index, counts)
+    ll_gap = loglik_gap(prob,
+                        os.path.join(CACHE, "refscalepe_out", "s.0.fpkm"),
+                        os.path.join(outdir, "s.0.fpkm"))
+    n_pairs = 2_000_000
+    log(f"scale PE quantify: reference {t_ref:.2f}s ours "
+        f"{best['total']:.2f}s ({t_ref / best['total']:.2f}x); "
+        f"{n_pairs / best['total'] / 1e6:.2f}M pairs/s e2e "
+        f"({best['reads'] / max(best['ingest'], 1e-9) / 1e6:.2f}M pairs/s "
+        f"ingest); gene TPM maxdiff {gdiff:.4f}; loglik advantage "
+        f"{ll_gap:.2e}")
+    return dict(ref_s=round(t_ref, 2), ours_s=round(best["total"], 2),
+                speedup=round(t_ref / best["total"], 3),
+                ingest_s=round(best["ingest"], 2),
+                quant_s=round(best["quant"], 2),
+                pairs_per_s=round(n_pairs / best["total"]),
+                ref_phases=ref_ph,
+                gene_tpm_maxdiff=round(gdiff, 4),
+                loglik_rel_advantage=float(f"{ll_gap:.3e}"))
 
 
 def tpm_maxdiff(ref_fpkm, our_fpkm):
@@ -614,9 +820,21 @@ def main():
     tdiff, gdiff = tpm_maxdiff(os.path.join(CACHE, "refout", "s.0.fpkm"),
                                os.path.join(outdir, "s.0.fpkm"))
     se_speedup = t_ref_se / t_ours_se
+    # likelihood-gap cross-check for the 1.3 gene-TPM maxdiff: prove the
+    # diff is maximizer selection on a flat manifold, not solver error
+    from emsar_tpu.io.rsh import RshIndex as _RshIndex
+    from emsar_tpu.ingest import native as _native
+    _index = _RshIndex.load(rsh)
+    _counts = _native.NativeCollapser(_index).collapse_file(
+        aln, "bowtie", False, 0, 100, _index.min_fraglength,
+        _index.max_fraglength, None)
+    se_ll_gap = loglik_gap(build_host_problem(_index, _counts),
+                           os.path.join(CACHE, "refout", "s.0.fpkm"),
+                           os.path.join(outdir, "s.0.fpkm"))
     log(f"SE: reference {t_ref_se:.2f}s ours {t_ours_se:.2f}s "
         f"({se_speedup:.2f}x); TPM maxdiff transcript {tdiff:.2f} "
-        f"(non-identifiable axis), gene {gdiff:.4f}")
+        f"(non-identifiable axis), gene {gdiff:.4f}; loglik advantage "
+        f"{se_ll_gap:.2e}")
 
     # PE quantify (BAM)
     t_ref_pe = time_reference(pe_rsh, pe_bam, extra_flags=("-P", "-B"))
@@ -643,6 +861,9 @@ def main():
     # human-scale quantify (BASELINE config 3); None on a cold cache
     scale = bench_scale_quantify(platform)
 
+    # human-scale PE quantify (BASELINE config 4's quantify half)
+    scale_pe = bench_scale_pe_quantify(platform)
+
     # human-scale build results (produced by tools/run_scale_build.py /
     # the round's scale runs — a 337 Mbp build is too heavy to re-run
     # inside every bench invocation, so the measured numbers ride along
@@ -665,6 +886,7 @@ def main():
             "pe_reads_per_s": round(reads_per_s),
             "pe_em_iters_per_s": round(em_iters_per_s),
             "se_tpm_gene_maxdiff": round(gdiff, 4),
+            "se_loglik_rel_advantage": float(f"{se_ll_gap:.3e}"),
             "pe_tpm_gene_maxdiff": round(pe_gdiff, 4),
             "build_se_ref_s": round(t_ref_build, 2),
             "build_se_ours_s": round(t_ours_build, 2),
@@ -677,6 +899,7 @@ def main():
             "ms16_samples_per_s": round(16 / min(t_ms_bat, t_ms_loop), 2),
             "ms16_loop_vs_batched_loglik_relgap": float(f"{ms_diff:.2e}"),
             "scale_quantify": scale,
+            "scale_pe_quantify": scale_pe,
             "scale_build": scale_build,
         }}))
 
