@@ -439,13 +439,35 @@ def _pe_hash_slab(H1, H2, H3, PS, packed, badbits, s0, out0, n_half,
     return H1, H2, H3, PS, jnp.sum(valid, dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("Lp",),
+def _dd_pack(SP, start, valid):
+    """Per sorted row: packed (next_gap << 16) | prev_gap neighbor
+    distances to the nearest SAME-window position (the rank sort carries
+    position as a key, so within-run positions are ascending).  65535 =
+    no in-run neighbor on that side; a whole-word 0 marks an invalid
+    window.  Real gaps clip to [1, 65535] — every row-local test compares
+    against d-offsets < 512, far below the clip."""
+    prev_gap = jnp.where(
+        start, 65535,
+        jnp.clip(SP - jnp.concatenate([jnp.zeros(1, SP.dtype), SP[:-1]]),
+                 1, 65535)).astype(jnp.uint32)
+    nxt_start = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    next_gap = jnp.where(
+        nxt_start, 65535,
+        jnp.clip(jnp.concatenate([SP[1:], jnp.zeros(1, SP.dtype)]) - SP,
+                 1, 65535)).astype(jnp.uint32)
+    return jnp.where(valid, (next_gap << jnp.uint32(16)) | prev_gap,
+                     jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("Lp", "with_dd"),
                    donate_argnums=(0, 1, 2))
-def _pe_rank_finish(S1, S2, S3, SP, n_valid, Lp: int):
+def _pe_rank_finish(S1, S2, S3, SP, n_valid, Lp: int, with_dd: bool = False):
     """From the identity-sorted (hash, pos) stream: per-row rank (equal
     windows share one), the position->rank table R, and cluster stats.
-    Returns (R, rank, max_cluster, n_distinct); SP is the sorted position
-    stream (mate1 members of each cluster are contiguous)."""
+    Returns (R, rank, max_cluster, n_distinct, DD); SP is the sorted
+    position stream (mate1 members of each cluster are contiguous).  DD
+    (``with_dd``) is the packed neighbor-distance table of the fast
+    singleton pass (token array otherwise)."""
     N = S1.shape[0]
     j = jnp.arange(N, dtype=jnp.int32)
     valid = j < n_valid
@@ -458,7 +480,13 @@ def _pe_rank_finish(S1, S2, S3, SP, n_valid, Lp: int):
     R = R.at[jnp.where(valid, SP, Lp)].set(rank, mode="drop")
     _, ns = _run_bounds(start)
     max_cluster = jnp.max(jnp.where(start & valid, ns - j, 0))
-    return R, rank, max_cluster, n_distinct
+    if with_dd:
+        DD = jnp.zeros(Lp, jnp.uint32).at[
+            jnp.where(valid, SP, Lp)].set(_dd_pack(SP, start, valid),
+                                          mode="drop")
+    else:
+        DD = jnp.zeros(8, jnp.uint32)
+    return R, rank, max_cluster, n_distinct, DD
 
 
 def _append_block(arrays, bufs, n, count, cap, flags, flag_bit):
@@ -510,11 +538,22 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     winner-member scale — it used to cost ~5 E-scale random-access ops
     inside this kernel even when a single run won.
 
-    Returns ``(state, win_sg, win_start, win_cnt, n_win, wmem)``: the
-    winner runs' ids / sorted-row starts / member counts compacted to the
-    front of [U] arrays, plus the winner count and total member demand
-    (device scalars) the host uses to size the extraction launch."""
+    Returns ``(state, win_row, rsg, rpk, n_win, wmem)``: the winner runs'
+    RECORD-ROW indices compacted to the front of a [U] array plus the
+    record id/packed-field arrays (the extraction launch re-derives run
+    start and member count from them at winner scale), and the winner
+    count / total member demand (device scalars) the host uses to size
+    the extraction launch.
+
+    Op-count discipline (tools/microbench_pe_ops.py: U-scale random
+    gathers/scatters cost 76-127 ms each at U ~ 8M while cumsums are
+    ~free): per-record fields ride ONE extra E-driven scatter as a
+    packed word, the four prefix sums (multi-d counter + 3 hash lanes)
+    are stacked into one [E+1, 4] table so both run endpoints resolve
+    with ONE 4-wide row gather each, and the winner compaction is a
+    single scatter."""
     E = start.shape[0]
+    assert max_repeat < (1 << 22), "run length must fit the packed word"
     claim_mask = state["claim1"].shape[0] - 1
     i = jnp.arange(E, dtype=jnp.int32)
     my_start, next_start = _run_bounds(start)
@@ -522,7 +561,7 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     # d uniform within run <=> no adjacent differing pair inside the run
     prev_d = jnp.concatenate([jnp.zeros(1, d_ind.dtype), d_ind[:-1]])
     bad_pair = (~start) & (d_ind != prev_d)
-    badS = jnp.cumsum(bad_pair.astype(jnp.int32), dtype=jnp.int32)
+    badS = jnp.cumsum(bad_pair.astype(jnp.uint32), dtype=jnp.uint32)
 
     single = start & validrow & (cntr == 1)
     dense = state["dense"].at[
@@ -532,35 +571,45 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     rec = (start & validrow & (cntr > 1) & (cntr < max_repeat))
     sgu = (chunk_base + i).astype(jnp.uint32)
 
-    # compact records (one per multi run) to the front of a [Ue] buffer via
-    # cumsum + scatter (an order-preserving stable partition; a full-width
-    # lax.sort here cost as much as the main candidate sort); signature
-    # hash lanes are then summed at record scale (cumsum endpoints), not
-    # element scale
+    # stacked prefix table: ST4[k] = inclusive prefix through row k-1
+    # (= exclusive prefix at k).  bad_pair is 0 at every run start, so
+    # ST4[rec_idx, 0] is also badS[rec_idx] — one row serves all four
+    # start-side sums, one row all four end-side sums.
+    l1, l2, l3 = _sig_lanes(tid)
+    ST4 = jnp.concatenate([
+        jnp.zeros((1, 4), jnp.uint32),
+        jnp.stack([badS,
+                   jnp.cumsum(l1, dtype=jnp.uint32),
+                   jnp.cumsum(l2, dtype=jnp.uint32),
+                   jnp.cumsum(l3, dtype=jnp.uint32)], axis=1)])
+
+    # compact records (one per multi run) to the front of a [Ue] buffer
+    # via cumsum + scatter (an order-preserving stable partition); the
+    # second scatter carries (run length, start bad_pair, fraglen) packed
     rec_cnt = jnp.sum(rec, dtype=jnp.int32)
     Ue = min(U, E)
     rec_valid = jnp.arange(Ue, dtype=jnp.int32) < rec_cnt
     rdst = jnp.where(rec, jnp.cumsum(rec.astype(jnp.int32)) - 1, Ue)
     rsg = jnp.zeros(Ue, jnp.uint32).at[rdst].set(sgu, mode="drop",
                                                  unique_indices=True)
+    packed = ((cntr.astype(jnp.uint32) << jnp.uint32(10))
+              | (bad_pair.astype(jnp.uint32) << jnp.uint32(9))
+              | d_ind.astype(jnp.uint32))
+    rpk = jnp.zeros(Ue, jnp.uint32).at[rdst].set(packed, mode="drop",
+                                                 unique_indices=True)
     rec_idx = jnp.clip(rsg.astype(jnp.int32) - chunk_base, 0, E - 1)
-    # record fraglen via U-scale gather off the run start (an E-driven
-    # scatter like rsg's costs E index elements; garbage on dead rows is
-    # masked by rec_valid below)
-    rfl = d_ind[rec_idx].astype(jnp.uint32)
-    rend = jnp.clip(next_start[rec_idx] - 1, 0, E - 1)
+    rfl = rpk & jnp.uint32(0x1FF)
+    rcnt = (rpk >> jnp.uint32(10)).astype(jnp.int32)
+    rend = jnp.clip(rec_idx + rcnt - 1, 0, E - 1)
+    G_end = ST4[rend + 1]    # [Ue, 4] row gather
+    G_sta = ST4[rec_idx]     # [Ue, 4] row gather
     # multi-d test at record scale (reference multi_d filter :1926): no
-    # adjacent differing-d pair strictly inside [rec_idx, rend]
-    sd_rec = (badS[rend] - badS[rec_idx] + bad_pair[rec_idx]) == 0
+    # adjacent differing-d pair strictly inside (rec_idx, rend]
+    sd_rec = G_end[:, 0] == G_sta[:, 0]
     rec_valid = rec_valid & sd_rec
-    l1, l2, l3 = _sig_lanes(tid)
-    lanes_out = []
-    for lane in (l1, l2, l3):
-        S = jnp.cumsum(lane, dtype=jnp.uint32)
-        Sx = S - lane  # exclusive prefix
-        lanes_out.append(S[rend] - Sx[rec_idx])
-    r1, r2, r3 = lanes_out
-    r3 = (r3 & jnp.uint32(0xFFFFFE00)) | rfl
+    r1 = G_end[:, 1] - G_sta[:, 1]
+    r2 = G_end[:, 2] - G_sta[:, 2]
+    r3 = ((G_end[:, 3] - G_sta[:, 3]) & jnp.uint32(0xFFFFFE00)) | rfl
     # dead rows carry the all-ones identity + cnt 0 (no flag operand)
     tab_arrays = [jnp.where(rec_valid, r1, CLAIM_EMPTY),
                   jnp.where(rec_valid, r2, CLAIM_EMPTY),
@@ -589,54 +638,56 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                            (claim3[jnp.clip(slot3, 0, claim_mask)] == rsg))
     n_win = jnp.sum(win_rec, dtype=jnp.int32)
 
-    # compact the winner runs' (id, sorted-row start, member count) to the
-    # front — everything at U scale; the member extraction launch
-    # (_extract_members) consumes these
-    wcnt_rec = next_start[rec_idx] - rec_idx
+    # compact the winner runs' RECORD ROWS to the front (one scatter);
+    # the extraction launch re-derives (id, start, count) at winner scale
     wdst = jnp.where(win_rec, jnp.cumsum(win_rec.astype(jnp.int32)) - 1, Ue)
-    win_sg = jnp.zeros(Ue, jnp.uint32).at[wdst].set(rsg, mode="drop",
-                                                    unique_indices=True)
-    win_start = jnp.zeros(Ue, jnp.int32).at[wdst].set(
-        rec_idx, mode="drop", unique_indices=True)
-    win_cnt = jnp.zeros(Ue, jnp.int32).at[wdst].set(
-        wcnt_rec, mode="drop", unique_indices=True)
-    wmem = jnp.sum(jnp.where(win_rec, wcnt_rec, 0), dtype=jnp.int32)
+    win_row = jnp.full(Ue, Ue - 1, jnp.int32).at[wdst].set(
+        i[:Ue], mode="drop", unique_indices=True)
+    wmem = jnp.sum(jnp.where(win_rec, rcnt, 0), dtype=jnp.int32)
 
     state = dict(state, dense=dense, tab_h1=tabs[0], tab_h2=tabs[1],
                  tab_h3fl=tabs[2], tab_cnt=tabs[3],
                  tab_n=tab_n, claim1=claim1, claim2=claim2, claim3=claim3,
                  flags=flags)
-    return state, win_sg, win_start, win_cnt, n_win, wmem
+    return state, win_row, rsg, rpk, n_win, wmem
 
 
 @functools.partial(
     jax.jit, static_argnames=("W", "tid_shift"), donate_argnums=(0,))
-def _extract_members(state, win_sg, win_start, win_cnt, tids_sorted, src0,
-                     chunk_id, W: int, tid_shift: int):
+def _extract_members(state, win_row, rsg, rpk, n_win, tids_sorted, src0,
+                     chunk_id, chunk_base, W: int, tid_shift: int):
     """Append the members of this launch's winner runs to the state's
-    exemplar-member buffers — all work at winner-member (W) scale.
+    exemplar-member buffers — all work at winner/member scale.
 
-    ``win_*``: winner runs compacted to the front (rows with cnt 0 are
-    padding).  ``tids_sorted``: the launch's sorted payload; member tid =
-    tids_sorted[src0 + row] >> tid_shift (PE packs (tid, d) — tid_shift
-    9; SE passes tids directly — shift 0).  ``W``: host-chosen static
-    capacity >= this launch's total member demand (quantized pow2)."""
-    Uw = win_cnt.shape[0]
-    cnz = jnp.where(win_cnt > 0, win_cnt, 0)
+    ``win_row``: winner RECORD rows compacted to the front (host-sliced
+    to a small power of two >= n_win); id / start / count re-derive from
+    ``rsg``/``rpk`` via winner-scale gathers.  ``tids_sorted``: the
+    launch's sorted payload; member tid = tids_sorted[src0 + row] >>
+    tid_shift (PE packs (tid, d) — tid_shift 9; SE passes tids directly —
+    shift 0).  ``W``: host-chosen static capacity >= this launch's total
+    member demand (quantized pow2)."""
+    Uw = win_row.shape[0]
+    k = jnp.arange(Uw, dtype=jnp.int32)
+    valid_w = k < n_win
+    wsg = rsg[win_row]
+    wcnt = jnp.where(valid_w,
+                     (rpk[win_row] >> jnp.uint32(10)).astype(jnp.int32), 0)
+    wstart = jnp.clip(wsg.astype(jnp.int32) - chunk_base, 0, None)
+    cnz = wcnt
     offs = jnp.cumsum(cnz) - cnz  # exclusive prefix, constant on padding
     j = jnp.arange(W, dtype=jnp.int32)
     # owning run per output slot: scatter run index at its first slot,
     # then cummax (runs with cnt 0 never scatter)
     seg = jnp.full(W, -1, jnp.int32).at[
-        jnp.where(win_cnt > 0, offs, W)].max(
+        jnp.where(cnz > 0, offs, W)].max(
         jnp.arange(Uw, dtype=jnp.int32), mode="drop")
     seg = jnp.clip(jax.lax.cummax(seg), 0, Uw - 1)
-    row = win_start[seg] + (j - offs[seg])
+    row = wstart[seg] + (j - offs[seg])
     total = jnp.sum(cnz, dtype=jnp.int32)
     ok = j < total
     tid = (tids_sorted[src0 + jnp.where(ok, row, 0)]
            .astype(jnp.uint32) >> jnp.uint32(tid_shift)).astype(jnp.int32)
-    sg = win_sg[seg].astype(jnp.int32)
+    sg = wsg[seg].astype(jnp.int32)
     mem_n = state["mem_n"]
     MEM = state["mem_sg"].shape[0]
     # rows j >= total in the written block are garbage — they sit beyond
@@ -695,6 +746,112 @@ def _pe_partition_clusters(SP, RANK, n_valid):
     RKm = jnp.full(N, BIG_RANK, jnp.int32).at[dst_m].set(
         RANK, mode="drop", unique_indices=True)
     return SPs, RKs, SPm, RKm, ns, nm
+
+
+@functools.partial(jax.jit, static_argnames=("Lp",), donate_argnums=(0, 1))
+def _pe_partition_multi(SP, RANK, n_valid, Lp: int):
+    """Multi-cluster compaction + a singleton POSITION mask.
+
+    Fast-singleton variant of :func:`_pe_partition_clusters`: singleton
+    mate1 positions are consumed by the slab pass in position space
+    (:func:`_pe_single_slabs`), so only the multi stream needs the
+    rank-ordered compaction.  Returns (SNG, SPm, RKm, ns, nm)."""
+    N = SP.shape[0]
+    j = jnp.arange(N, dtype=jnp.int32)
+    valid = j < n_valid
+    start = jnp.concatenate([jnp.ones(1, bool), RANK[1:] != RANK[:-1]])
+    my_s, nxt_s = _run_bounds(start)
+    size = nxt_s[jnp.clip(my_s, 0, N - 1)] - my_s
+    single = valid & (size == 1)
+    multi = valid & (size >= 2)
+    ns = jnp.sum(single, dtype=jnp.int32)
+    nm = jnp.sum(multi, dtype=jnp.int32)
+    SNG = jnp.zeros(Lp, jnp.uint8).at[
+        jnp.where(single, SP, Lp)].set(jnp.uint8(1), mode="drop",
+                                       unique_indices=True)
+    dst_m = jnp.where(multi, jnp.cumsum(multi.astype(jnp.int32)) - 1, N)
+    SPm = jnp.full(N, -1, jnp.int32).at[dst_m].set(SP, mode="drop",
+                                                   unique_indices=True)
+    RKm = jnp.full(N, BIG_RANK, jnp.int32).at[dst_m].set(
+        RANK, mode="drop", unique_indices=True)
+    return SNG, SPm, RKm, ns, nm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "nblk", "nfl", "K", "seqlength", "readlength",
+                     "ntid"),
+    donate_argnums=(0,))
+def _pe_single_slabs(dense_s, DD, T32, NS, SNG, d0,
+                     S: int, nblk: int, nfl: int, K: int, seqlength: int,
+                     readlength: int, ntid: int):
+    """Fast singleton-cluster pass: contiguous position slabs, ZERO
+    gathers, ZERO sorts (stranded builds).
+
+    A singleton-cluster candidate survives iff its mate2 rank is unique
+    among the row's valid candidates (any in-row duplicate sits at a
+    different d = the reference multi_d drop, src/emsar_functions.c:1926;
+    see _pe_single_chunk).  Uniqueness is evaluated from the packed
+    global neighbor-distance table DD (nearest same-window position on
+    either side, built free inside the rank pass): the left partner of
+    slot dd is in-row iff prev_gap <= dd — and then automatically valid —
+    while the right partner at slot dd + next_gap must clear the same
+    validity bound rb the candidate itself obeys.  All reads are shifted
+    SLICES of position-indexed tables (the [MV, nfl] rank gather that
+    dominated the chunked singleton pass at the 675 M-row table scale is
+    gone), and the dense scatter runs at tid-run scale: within a slab,
+    T32 is piecewise-constant, so per-d prefix sums evaluated at run
+    ends give each transcript's (tid, d) contribution — one [K, nfl]
+    row scatter per slab instead of an E-scale scatter.
+
+    Stranded-only: mate1 positions live in the fw half, so every slice
+    offset stays far below Lp (no table padding), and the unstranded
+    orientation rule (which breaks per-position uniqueness) never
+    applies.  Returns (dense_s, overflow_flag)."""
+    rl = readlength
+
+    def body(k, carry):
+        dense, flag = carry
+        p0 = k * S
+        i = jnp.arange(S, dtype=jnp.int32)
+        p = p0 + i
+        sng = jax.lax.dynamic_slice(SNG, (p0,), (S,)) == 1
+        t = jax.lax.dynamic_slice(T32, (p0,), (S,))
+        nsp = jax.lax.dynamic_slice(NS, (p0,), (S,))
+        dmax = nsp - rl - p
+        # candidate/partner validity bound: slot index <= rb (d-range,
+        # next-separator, and in_range guards of _pe_cvalid)
+        rb = jnp.minimum(jnp.minimum(jnp.int32(nfl - 1), dmax),
+                         seqlength - rl - d0 - p)
+        rows = []
+        for ddi in range(nfl):
+            ddw = jax.lax.dynamic_slice(DD, (p0 + d0 + ddi,), (S,))
+            gp = (ddw & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            gn = (ddw >> jnp.uint32(16)).astype(jnp.int32)
+            keep = (sng & (gp != 0) & (ddi <= rb)
+                    & (gp > ddi) & (gn > rb - ddi))
+            rows.append(keep)
+        keepm = jnp.stack(rows)  # [nfl, S]
+        C = jnp.cumsum(keepm.astype(jnp.int32), axis=1)
+        # tid-run compaction: one run end per transcript per slab
+        e_mask = jnp.concatenate([t[1:] != t[:-1], jnp.ones(1, bool)])
+        nend = jnp.sum(e_mask, dtype=jnp.int32)
+        dst = jnp.where(e_mask, jnp.cumsum(e_mask.astype(jnp.int32)) - 1, K)
+        ends = jnp.full(K, S - 1, jnp.int32).at[dst].set(
+            i, mode="drop", unique_indices=True)
+        prev_ends = jnp.concatenate([jnp.full(1, -1, jnp.int32), ends[:-1]])
+        Ce = C[:, ends]                                       # [nfl, K]
+        Cs = jnp.where(prev_ends[None, :] >= 0,
+                       C[:, jnp.clip(prev_ends, 0, S - 1)], 0)
+        rows_k = (Ce - Cs).T                                  # [K, nfl]
+        t_k = t[ends]
+        dense = dense.reshape(ntid, nfl).at[t_k].add(
+            rows_k, mode="drop").reshape(ntid * nfl)
+        flag = flag | (nend > K)
+        return dense, flag
+
+    return jax.lax.fori_loop(0, nblk, body,
+                             (dense_s, jnp.zeros((), jnp.bool_)))
 
 
 def _pe_cvalid(mpos, mrank, RW, RF32, T32, NS, d0, nfl: int,
@@ -978,11 +1135,16 @@ def _pe_stream_chunk(state, A, B, P, q0, chunk_id, chunk_base,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _sort_payload4(H1, H2, H3, TD):
+@functools.partial(jax.jit, static_argnames=("num_keys",),
+                   donate_argnums=(0, 1, 2, 3))
+def _sort_payload4(H1, H2, H3, TD, num_keys: int = 3):
     """Global 4-operand sort by the 96-bit window identity (invalid rows
-    carry the all-ones identity and sort last)."""
-    return jax.lax.sort((H1, H2, H3, TD), num_keys=3, is_stable=False)
+    carry the all-ones identity and sort last).  ``num_keys=4`` also
+    orders the payload within identity runs — the PE rank pass uses it so
+    same-window positions come out position-sorted (the neighbor-distance
+    table of the fast singleton pass needs within-run position order)."""
+    return jax.lax.sort((H1, H2, H3, TD), num_keys=num_keys,
+                        is_stable=False)
 
 
 @functools.partial(jax.jit, static_argnames=("tail",))
@@ -1219,10 +1381,11 @@ def _scatter_one(src, dst, out_size: int):
     return jnp.zeros(out_size, src.dtype).at[dst].set(src, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("Bcap", "max_repeat"),
+@functools.partial(jax.jit,
+                   static_argnames=("Bcap", "max_repeat", "num_keys"),
                    donate_argnums=())
 def _se_bucket_sort(P1, P2, P3, PT, off_b, cnt_b, Bcap: int,
-                    max_repeat: int):
+                    max_repeat: int, num_keys: int = 3):
     """Sort one partitioned bucket and probe its record/member demand.
 
     Rows beyond cnt_b get all-ones keys so they sort last (a real window
@@ -1242,7 +1405,7 @@ def _se_bucket_sort(P1, P2, P3, PT, off_b, cnt_b, Bcap: int,
     h3 = jnp.where(valid, jax.lax.dynamic_slice(P3, (off_b,), (Bcap,)),
                    jnp.uint32(0xFFFFFFFF))
     td = jnp.where(valid, jax.lax.dynamic_slice(PT, (off_b,), (Bcap,)), 0)
-    s1, s2, s3, stid = jax.lax.sort((h1, h2, h3, td), num_keys=3,
+    s1, s2, s3, stid = jax.lax.sort((h1, h2, h3, td), num_keys=num_keys,
                                     is_stable=False)
     diff = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]) | (s3[1:] != s3[:-1])
     startf = jnp.concatenate([jnp.ones(1, bool), diff])
@@ -1337,6 +1500,21 @@ def _tab_fold(state, K: int):
     return out
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tab_clear(state):
+    """Reset the record table after a host drain.  A plain tab_n reset
+    would leave the drained unique rows in place below the next fold's
+    pow2 prefix, double-counting them — the buffers must return to the
+    all-ones/zero dead-row state."""
+    out = dict(state)
+    out["tab_h1"] = jnp.full_like(state["tab_h1"], CLAIM_EMPTY)
+    out["tab_h2"] = jnp.full_like(state["tab_h2"], CLAIM_EMPTY)
+    out["tab_h3fl"] = jnp.full_like(state["tab_h3fl"], CLAIM_EMPTY)
+    out["tab_cnt"] = jnp.zeros_like(state["tab_cnt"])
+    out["tab_n"] = jnp.zeros((), jnp.int32)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("UCAP",),
                    donate_argnums=(0, 1, 2, 3))
 def _tab_finalize(tab_h1, tab_h2, tab_h3fl, tab_cnt, UCAP: int):
@@ -1357,11 +1535,17 @@ def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
     ~1.2 GB device memory at the ceilings (human-scale PE also keeps four
     [Lp] rank-space tables resident, so state headroom matters)."""
     n = max(int(ncand_hint), 1)
+    # very large builds (the F1-400 class: ~100 G candidates, ~76 M
+    # unique (signature, fraglen) rows — measured on the reference's
+    # human F1-400 output) get a bigger record table plus the host-drain
+    # path (_maintain drains folded unique rows past TABCAP/2); smaller
+    # builds keep the round-4 capacities (and their cached executables)
+    big = n > (1 << 33)
     return dict(
-        TABCAP=min(_next_pow2(n + 1024), 1 << 25),
+        TABCAP=(1 << 26) if big else min(_next_pow2(n + 1024), 1 << 25),
         MEMCAP=min(_next_pow2(2 * n + 64), 1 << 24),
         CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 25),
-        UCAP=min(_next_pow2(n + 64), 1 << 25),
+        UCAP=(1 << 26) if big else min(_next_pow2(n + 64), 1 << 25),
     )
 
 
@@ -1432,11 +1616,14 @@ def _pe_prep_ext(spos, rank, MV: int):
 
 def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
                    readlength_hdr: int, fl_min: int, fl_max: int,
-                   drained=None) -> RshIndex:
+                   drained=None, drained_tab=None) -> RshIndex:
     """Fetch the aggregated device results and assemble the RshIndex.
 
     ``drained``: exemplar-member (sg, tid, chunk) batches already pulled
-    off the device mid-build by partitioned builds."""
+    off the device mid-build by partitioned builds.  ``drained_tab``:
+    folded unique-record batches drained past TABCAP/2 (builds whose
+    unique (signature, fraglen) rows exceed any fixed table — the human
+    F1-400 build holds ~76 M); counts merge associatively here."""
     # sort only a prefix covering the live rows (appends are contiguous
     # from 0) — sorting the whole capacity buffer wastes 10-30x
     profile = bool(os.environ.get("EMSAR_DEVBUILD_PROFILE"))
@@ -1470,6 +1657,26 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     uh2 = fetch(uh2, rows)
     uh3fl = fetch(uh3fl, rows)
     ucnt = fetch(ucnt, rows)
+    if drained_tab:
+        # merge the mid-build drained unique-row batches: same 87-bit
+        # identity + fraglen -> counts add (each run was recorded in
+        # exactly one batch)
+        uh1 = np.concatenate([b[0] for b in drained_tab] + [uh1])
+        uh2 = np.concatenate([b[1] for b in drained_tab] + [uh2])
+        uh3fl = np.concatenate([b[2] for b in drained_tab] + [uh3fl])
+        ucnt = np.concatenate([b[3] for b in drained_tab] + [ucnt])
+        key_hi = (uh1.astype(np.uint64) << np.uint64(32)) | uh2
+        order_t = np.lexsort((uh3fl, key_hi))
+        kh, k3 = key_hi[order_t], uh3fl[order_t]
+        newu = np.concatenate([[True], (kh[1:] != kh[:-1]) |
+                               (k3[1:] != k3[:-1])])
+        starts_u = np.flatnonzero(newu)
+        ucnt = np.add.reduceat(
+            ucnt[order_t].astype(np.uint64), starts_u).astype(np.uint32)
+        uh1 = uh1[order_t][starts_u]
+        uh2 = uh2[order_t][starts_u]
+        uh3fl = uh3fl[order_t][starts_u]
+        rows = len(starts_u)
     mem_n = int(np.asarray(state["mem_n"]))
     mem_sg = fetch(state["mem_sg"], mem_n)
     mem_tid = fetch(state["mem_tid"], mem_n)
@@ -1593,16 +1800,18 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
                     multi_euma=euma)
 
 
-@functools.partial(jax.jit, static_argnames=("Bcap", "Lp"),
-                   donate_argnums=(0, 1, 2, 3, 4))
-def _pe_bucket_rank(R, SPo, RKo, base, maxcl, S1, S2, S3, SSP, cnt_b,
-                    off_b, Bcap: int, Lp: int):
+@functools.partial(jax.jit, static_argnames=("Bcap", "Lp", "with_dd"),
+                   donate_argnums=(0, 1, 2, 3, 4, 5))
+def _pe_bucket_rank(R, DD, SPo, RKo, base, maxcl, S1, S2, S3, SSP, cnt_b,
+                    off_b, Bcap: int, Lp: int, with_dd: bool = False):
     """Assign global ranks to one sorted bucket and write (position,
     rank) into the bucket-major output arrays plus R[pos] = rank.
 
     ``base`` is the running rank offset (device scalar, threaded through
     launches — no per-bucket host sync); returns the advanced base and
-    the running max cluster size."""
+    the running max cluster size.  Equal windows never cross buckets
+    (they share all hash lanes), so the per-bucket neighbor-distance
+    pack (``with_dd``) is exact."""
     j = jnp.arange(Bcap, dtype=jnp.int32)
     valid = j < cnt_b
     diff = (S1[1:] != S1[:-1]) | (S2[1:] != S2[:-1]) | (S3[1:] != S3[:-1])
@@ -1615,15 +1824,20 @@ def _pe_bucket_rank(R, SPo, RKo, base, maxcl, S1, S2, S3, SSP, cnt_b,
     maxcl = jnp.maximum(maxcl, jnp.max(jnp.where(start, sizes, 0)))
     R = R.at[jnp.where(valid, SSP, Lp)].set(rank, mode="drop",
                                             unique_indices=True)
+    if with_dd:
+        DD = DD.at[jnp.where(valid, SSP, Lp)].set(
+            _dd_pack(SSP, start | ~valid, valid), mode="drop",
+            unique_indices=True)
     # block writes: bucket b+1's block starts at off_b + cnt_b, so its
     # write overwrites this block's garbage tail; the last bucket's tail
     # lies beyond n_valid and is never read
     SPo = jax.lax.dynamic_update_slice(SPo, SSP, (off_b,))
     RKo = jax.lax.dynamic_update_slice(RKo, rank, (off_b,))
-    return R, SPo, RKo, base + nd, maxcl
+    return R, DD, SPo, RKo, base + nd, maxcl
 
 
-def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
+def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg,
+                      with_dd: bool = False):
     """Rank pass: contiguous hash slabs over both strand halves, then
     group every distinct mate1 window — one global 4-operand sort within
     the sort budget, or a hash-prefix radix partition with per-bucket
@@ -1633,7 +1847,9 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
     sort + mark_sfa_se (src/emsar_functions.c:1108-1149, 1300-1306):
     rank == cluster id, and any total order over distinct windows serves
     the downstream orientation rules (module docstring).
-    Returns (spos, rank, max_cluster, n_valid, R)."""
+    Returns (spos, rank, max_cluster, n_valid, R, DD); DD (``with_dd``)
+    is the packed same-window neighbor-distance table consumed by the
+    fast singleton pass (token array otherwise)."""
     seqlength = int(tx.seqlength)
     n_fw = int(tx.borderpos) - rl + 1
     # slab <= pad(n_fw) keeps every rc flipped slice in bounds
@@ -1666,16 +1882,18 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
     limit = min(getattr(cfg, "device_sort_limit", 1 << 28), 1 << 26)
     if Npad <= limit:
         with phase(f"PE dev: rank sort ({Npad} rows)", cfg.verbose):
-            S1, S2, S3, SP = _sort_payload4(H1, H2, H3, PS)
+            S1, S2, S3, SP = _sort_payload4(H1, H2, H3, PS,
+                                            num_keys=4 if with_dd else 3)
             del H1, H2, H3, PS
             _psync(SP)
         with phase("PE dev: rank finish", cfg.verbose):
-            R, rank, maxcl, _ = _pe_rank_finish(S1, S2, S3, SP,
-                                                jnp.int32(n_valid),
-                                                Lp=ref.Lp)
+            R, rank, maxcl, _, DD = _pe_rank_finish(S1, S2, S3, SP,
+                                                    jnp.int32(n_valid),
+                                                    Lp=ref.Lp,
+                                                    with_dd=with_dd)
             del S1, S2, S3
             maxcl_i = int(np.asarray(maxcl))
-        return SP, rank, maxcl_i, n_valid, R
+        return SP, rank, maxcl_i, n_valid, R, DD
 
     # ---- partitioned rank pass (beyond the single-sort budget) ----
     kbits = 1
@@ -1719,6 +1937,8 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
         _psync(PP)
     with phase(f"PE dev: rank {B} bucket sorts (cap {Bcap})", cfg.verbose):
         R = jnp.full(ref.Lp, BIG_RANK, jnp.int32)
+        DD = (jnp.zeros(ref.Lp, jnp.uint32) if with_dd
+              else jnp.zeros(8, jnp.uint32))
         SPo = jnp.full(out_size, -1, jnp.int32)
         RKo = jnp.full(out_size, BIG_RANK, jnp.int32)
         base = jnp.zeros((), jnp.int32)
@@ -1728,15 +1948,16 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg):
                 continue
             S1, S2, S3, SSP, _, _ = _se_bucket_sort(
                 P1, P2, P3, PP, jnp.int32(int(off[b])),
-                jnp.int32(int(counts[b])), Bcap=Bcap, max_repeat=2)
-            R, SPo, RKo, base, maxcl = _pe_bucket_rank(
-                R, SPo, RKo, base, maxcl, S1, S2, S3, SSP,
+                jnp.int32(int(counts[b])), Bcap=Bcap, max_repeat=2,
+                num_keys=4 if with_dd else 3)
+            R, DD, SPo, RKo, base, maxcl = _pe_bucket_rank(
+                R, DD, SPo, RKo, base, maxcl, S1, S2, S3, SSP,
                 jnp.int32(int(counts[b])), jnp.int32(int(off[b])),
-                Bcap=Bcap, Lp=ref.Lp)
+                Bcap=Bcap, Lp=ref.Lp, with_dd=with_dd)
             del S1, S2, S3, SSP
         del P1, P2, P3, PP
         maxcl_i = int(np.asarray(maxcl))
-    return SPo, RKo, maxcl_i, n_valid, R
+    return SPo, RKo, maxcl_i, n_valid, R, DD
 
 
 @functools.partial(jax.jit, static_argnames=("Lpx", "nv", "two"),
@@ -1793,6 +2014,7 @@ def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
     caps = _caps_partitioned(E)
     state = _init_state(tx.n_transcripts, nfl, caps)
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    drained_tab: List[tuple] = []
     V = _next_pow2(max(int(cfg.max_repeat) + 2, 64))
     Q = min(_next_pow2(E), 1 << 24)
     n_chunks = max(-(-E // Q), 1)
@@ -1822,7 +2044,10 @@ def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
             state, drained = _maintain(state, caps, drained,
                                        caps["TABCAP"] // 4, win=win,
                                        tids_sorted=P, src0=k * Q,
-                                       chunk_id=k, tid_shift=9)
+                                       chunk_id=k, tid_shift=9,
+                                       chunk_base=_launch_base(
+                                           k, 1 + Q + V),
+                        drained_tab=drained_tab)
             if profile:
                 print(f"[profile] stream chunk {k}: "
                       f"{_time.perf_counter() - t0:.3f}s rec={rc_i}",
@@ -1830,7 +2055,7 @@ def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
     del A, B, P
     with phase("PE dev: finalize", cfg.verbose):
         return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max,
-                              drained=drained)
+                              drained=drained, drained_tab=drained_tab)
 
 
 def build_pe_index_device(tx: Transcriptome, readlength: int,
@@ -1854,27 +2079,40 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     two = not stranded
     Npos = n_fw * (2 if two else 1)
 
+    n1 = (int(tx.seqlength) if two else int(tx.borderpos)) - rl + 1
+    use_global = _pad_to(n1, 256) * nfl <= PE_GLOBAL_BUDGET
+    # fast singleton path (slab slices + neighbor distances): stranded
+    # chunked builds only — the unstranded orientation rule masks
+    # candidates per (mate1, mate2) pair, which a per-position
+    # neighbor-distance table cannot express (see _pe_single_slabs)
+    fast_singles = (not two and not use_global
+                    and os.environ.get("EMSAR_PE_FAST_SINGLES", "1") != "0")
+
     with phase("PE dev: reference upload", cfg.verbose):
         ref = DeviceRef(tx)
-    spos, rank, maxcl_i, nvalid_i, R = _pe_rank_hashsort(tx, ref, rl, two,
-                                                         cfg)
+    spos, rank, maxcl_i, nvalid_i, R, DD = _pe_rank_hashsort(
+        tx, ref, rl, two, cfg, with_dd=fast_singles)
 
-    n1 = (int(tx.seqlength) if two else int(tx.borderpos)) - rl + 1
-    if _pad_to(n1, 256) * nfl <= PE_GLOBAL_BUDGET:
-        del spos, rank
+    if use_global:
+        del spos, rank, DD
         return _build_pe_global(tx, ref, R, rl, fl_min, fl_max, two, cfg)
 
     with phase("PE dev: cluster partition", cfg.verbose):
-        SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
-            spos, rank, jnp.int32(nvalid_i))
+        if fast_singles:
+            SNG, SPm, RKm, ns_d, nm_d = _pe_partition_multi(
+                spos, rank, jnp.int32(nvalid_i), Lp=ref.Lp)
+            SPs = RKs = None
+        else:
+            SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
+                spos, rank, jnp.int32(nvalid_i))
         ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
         # the compacted streams live in full-size buffers; shrink to the
         # occupied prefix (rows beyond are already sentinels) — at human
         # scale the four full buffers alone are ~6.8 GB
-        N_full = SPs.shape[0]
+        N_full = SPm.shape[0]
         ns_cap = min(_quantize_size(ns_i + 256), N_full)
         nm_cap = min(_quantize_size(nm_i + 256), N_full)
-        if ns_cap < N_full:
+        if SPs is not None and ns_cap < N_full:
             SPs = _shrink(SPs, ns_cap)
             RKs = _shrink(RKs, ns_cap)
         if nm_cap < N_full:
@@ -1911,28 +2149,58 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     import os as _os
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    drained_tab: List[tuple] = []
     d0 = fl_min - rl
 
     # singleton-cluster pass: the (usually large) majority of mate1
     # positions resolve without the global candidate sort
-    Ss = MV
-    n_schunks = (ns_i + Ss - 1) // Ss
     dense_s = jnp.zeros(tx.n_transcripts * nfl, jnp.int32)
-    with phase(f"PE dev: singleton pass ({ns_i} pos, {n_schunks} chunks)",
-               cfg.verbose):
-        if n_schunks:
-            # slice pad so the last chunk never clamps back over earlier
-            # rows (which would double-count them)
-            SPs = jnp.concatenate([SPs, jnp.full(Ss, -1, jnp.int32)])
-            RKs = jnp.concatenate([RKs, jnp.full(Ss, BIG_RANK, jnp.int32)])
-        for k in range(n_schunks):
-            dense_s = _pe_single_chunk(
-                dense_s, SPs, RKs, RW, RF32, T32, ref.nsep,
-                jnp.int32(k * Ss), jnp.int32(d0), Ss=Ss, nfl=nfl,
-                unstranded=two, borderpos=int(tx.borderpos),
-                seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
-        del SPs, RKs
-        _psync(dense_s)
+    if fast_singles:
+        S = min(1 << 17, _next_pow2(max(n1, 1024)))
+        nblk = (n1 + S - 1) // S
+        with phase(f"PE dev: singleton slab pass ({ns_i} pos, "
+                   f"{nblk} slabs)", cfg.verbose):
+            NS = ref.nsep
+            DDs, T32s, NSs, SNGs = DD, T32, NS, SNG
+            margin = nblk * S + d0 + nfl + 8 - ref.Lp
+            if margin > 0:
+                # tiny transcriptomes: pad so slab slices stay in bounds
+                # (at human scale mate1 slices live in the fw half and
+                # never approach Lp)
+                DDs = jnp.concatenate([DD, jnp.zeros(margin, jnp.uint32)])
+                T32s = jnp.concatenate([T32, jnp.zeros(margin, jnp.int32)])
+                NSs = jnp.concatenate(
+                    [NS, jnp.full(margin, ref.Lp, jnp.int32)])
+                SNGs = jnp.concatenate([SNG, jnp.zeros(margin, jnp.uint8)])
+            dense_s, sflag = _pe_single_slabs(
+                dense_s, DDs, T32s, NSs, SNGs, jnp.int32(d0),
+                S=S, nblk=nblk, nfl=nfl, K=1 << 13,
+                seqlength=int(tx.seqlength), readlength=rl,
+                ntid=tx.n_transcripts)
+            if bool(np.asarray(sflag)):
+                raise DeviceBuildOverflow(
+                    "singleton slab tid-run capacity exceeded")
+            del DD, DDs, T32s, NSs, SNG, SNGs
+    else:
+        del DD
+        Ss = MV
+        n_schunks = (ns_i + Ss - 1) // Ss
+        with phase(f"PE dev: singleton pass ({ns_i} pos, "
+                   f"{n_schunks} chunks)", cfg.verbose):
+            if n_schunks:
+                # slice pad so the last chunk never clamps back over
+                # earlier rows (which would double-count them)
+                SPs = jnp.concatenate([SPs, jnp.full(Ss, -1, jnp.int32)])
+                RKs = jnp.concatenate(
+                    [RKs, jnp.full(Ss, BIG_RANK, jnp.int32)])
+            for k in range(n_schunks):
+                dense_s = _pe_single_chunk(
+                    dense_s, SPs, RKs, RW, RF32, T32, ref.nsep,
+                    jnp.int32(k * Ss), jnp.int32(d0), Ss=Ss, nfl=nfl,
+                    unstranded=two, borderpos=int(tx.borderpos),
+                    seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
+            del SPs, RKs
+            _psync(dense_s)
 
     with phase("PE dev: ext prep", cfg.verbose):
         m1pos_ext, m1rank_ext = _pe_prep_ext(SPm, RKm, MV=MV)
@@ -1970,7 +2238,9 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
             state, drained = _maintain(state, caps, drained,
                                        caps["TABCAP"] // 4, win=win,
                                        tids_sorted=spay, src0=0,
-                                       chunk_id=k, tid_shift=9)
+                                       chunk_id=k, tid_shift=9,
+                                       chunk_base=_launch_base(k, E),
+                        drained_tab=drained_tab)
             del spay
             pending = nxt
             if profile:
@@ -1982,7 +2252,7 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         state = dict(state)
         state["dense"] = state["dense"] + dense_s  # singleton-pass merge
         return _finalize_host(tx, state, caps, nfl, rl, fl_min, fl_max,
-                              drained=drained)
+                              drained=drained, drained_tab=drained_tab)
 
 
 def build_se_index_device(tx: Transcriptome, readlength_min: int,
@@ -2017,6 +2287,7 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
     caps = _caps_partitioned(ncand)
     state = _init_state(tx.n_transcripts, nfl, caps)
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    drained_tab: List[tuple] = []
 
     chunk_id = 0
     slab = min(_next_pow2(n0), 1 << 25)
@@ -2073,12 +2344,12 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                         jnp.int32(_launch_base(chunk_id, 1 + Q + V)),
                         jnp.int32(n_valid), Q=Q, V=V, nfl=nfl,
                         max_repeat=int(cfg.max_repeat), U=Uk)
-                    state, drained = _maintain(state, caps, drained,
-                                               caps["TABCAP"] // 4,
-                                               win=win, tids_sorted=ST,
-                                               src0=k * Q,
-                                               chunk_id=chunk_id,
-                                               tid_shift=0)
+                    state, drained = _maintain(
+                        state, caps, drained, caps["TABCAP"] // 4,
+                        win=win, tids_sorted=ST, src0=k * Q,
+                        chunk_id=chunk_id, tid_shift=0,
+                        chunk_base=_launch_base(chunk_id, 1 + Q + V),
+                        drained_tab=drained_tab)
                     chunk_id += 1
             del S1, S2, S3, ST
             continue
@@ -2145,22 +2416,24 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
                     jnp.int32(_launch_base(chunk_id, Bcap)), Bcap=Bcap,
                     nfl=nfl, max_repeat=int(cfg.max_repeat), U=Ub)
                 del S1, S2, S3
-                state, drained = _maintain(state, caps, drained,
-                                           caps["TABCAP"] // 4,
-                                           win=win, tids_sorted=ST,
-                                           src0=0, chunk_id=chunk_id,
-                                           tid_shift=0)
+                state, drained = _maintain(
+                    state, caps, drained, caps["TABCAP"] // 4,
+                    win=win, tids_sorted=ST, src0=0, chunk_id=chunk_id,
+                    tid_shift=0,
+                    chunk_base=_launch_base(chunk_id, Bcap),
+                        drained_tab=drained_tab)
                 del ST
                 chunk_id += 1
         del P1, P2, P3, PT
 
     with phase("SE dev: finalize", cfg.verbose):
         return _finalize_host(tx, state, caps, nfl, -1, lmin, lmax,
-                              drained=drained)
+                              drained=drained, drained_tab=drained_tab)
 
 
 def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
-              src0=0, chunk_id=0, tid_shift=0):
+              src0=0, chunk_id=0, tid_shift=0, chunk_base=0,
+              drained_tab=None):
     """Per-launch maintenance (one small sync): dispatch winner-member
     extraction, abort on overflow flags, fold the record table when the
     next launch might not fit, drain exemplar members to the host past
@@ -2175,7 +2448,7 @@ def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
     under demand sizing — callers pass the worst case (TABCAP/4), so the
     fold triggers whenever tab_n passes TABCAP/2."""
     if win is not None:
-        win_sg, win_start, win_cnt, n_win_d, wmem_d = win
+        win_row, rsg, rpk, n_win_d, wmem_d = win
         scal = np.array(jnp.stack(
             [state["mem_n"], state["tab_n"], state["flags"][0],
              state["flags"][1], n_win_d, wmem_d]))
@@ -2185,10 +2458,15 @@ def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
             if W > caps["MEMCAP"]:
                 raise DeviceBuildOverflow(
                     f"winner member demand {wmem} > MEMCAP")
+            # slice the compacted winner rows to a small pow2 so the
+            # extraction's id/count gathers run at winner scale
+            Uwn = min(_next_pow2(max(int(scal[4]), 256)),
+                      win_row.shape[0])
             state = _extract_members(
-                state, win_sg, win_start, win_cnt, tids_sorted,
-                jnp.int32(src0), jnp.int32(chunk_id), W=W,
-                tid_shift=tid_shift)
+                state, _shrink(win_row, Uwn), rsg, rpk,
+                jnp.int32(int(scal[4])), tids_sorted,
+                jnp.int32(src0), jnp.int32(chunk_id),
+                jnp.int32(chunk_base), W=W, tid_shift=tid_shift)
             scal[0] += wmem
     else:
         scal = np.asarray(jnp.stack([state["mem_n"], state["tab_n"],
@@ -2200,6 +2478,18 @@ def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
     if int(scal[1]) + U > caps["TABCAP"] - U:
         K = min(_next_pow2(max(int(scal[1]), 1024)), caps["TABCAP"])
         state = _tab_fold(state, K=K)
+        if drained_tab is not None:
+            # unique rows can exceed any fixed TABCAP (the F1-400 human
+            # build holds ~76 M): when a fold leaves the table more than
+            # half full, drain the folded unique rows to the host (counts
+            # merge associatively at finalize) and reset
+            folded_n = int(np.asarray(state["tab_n"]))
+            if folded_n > caps["TABCAP"] // 2:
+                k = min(_next_pow2(max(folded_n, 1)), caps["TABCAP"])
+                drained_tab.append(tuple(
+                    np.asarray(state[f][:k])[:folded_n].copy()
+                    for f in ("tab_h1", "tab_h2", "tab_h3fl", "tab_cnt")))
+                state = _tab_clear(state)
     mem_n = int(scal[0])
     if mem_n > caps["MEMCAP"] // 2:
         k = min(_next_pow2(max(mem_n, 1)), caps["MEMCAP"])

@@ -117,6 +117,19 @@ def test_pe_multislab_hash_golden(tmp_path, monkeypatch):
               pe=True, strand="ssfr", max_frag=70, min_frag=1)
 
 
+def test_pe_wide_fraglen_chunk_golden(tmp_path, monkeypatch):
+    """F1-400-like config (minfrag clamps to readlength, wide nFraglen)
+    through the cluster-chunked path: ssfr exercises the fast singleton
+    slab pass (neighbor-distance table), ns the legacy singleton chunks.
+    Reference d-loop: src/emsar_functions.c:2854-2872."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(27), n=12, readlength=20,
+              pe=True, strand="ssfr", max_frag=120, min_frag=1)
+    _run_case(tmp_path, np.random.default_rng(28), n=12, readlength=20,
+              pe=True, max_frag=120, min_frag=1)
+
+
 def test_se_numpy_backend_golden(tmp_path):
     _run_case(tmp_path, np.random.default_rng(17), n=20, readlength=20,
               pe=False, backend="numpy")
