@@ -129,8 +129,19 @@ def main(argv=None) -> int:
 
     sfa_path = os.path.join(outdir, outprefix + ".sfa") if cfg.print_sfa \
         else None
+
+    # process-sharded PE build (jax.distributed runtime, EMSAR_TPU_*
+    # env): each process builds every n-th cluster chunk, non-zero
+    # processes write partial .npz files, process 0 merges and writes
+    # the final .rsh — the multi-host story for hour-scale builds
+    from ..parallel import dist
+    sharded = dist.maybe_init_from_env() and cfg.pe
+    shard = (dist.process_index(), dist.process_count()) if sharded \
+        else None
+
     if cfg.pe:
-        idx = build_pe_index(tx, int(readlength_str), cfg, sfa_path=sfa_path)
+        idx = build_pe_index(tx, int(readlength_str), cfg,
+                             sfa_path=sfa_path, shard=shard)
     else:
         if "-" in readlength_str:
             lo_s, hi_s = readlength_str.split("-", 1)
@@ -140,6 +151,19 @@ def main(argv=None) -> int:
         idx = build_se_index(tx, lo, hi, cfg, sfa_path=sfa_path)
 
     rsh_path = os.path.join(outdir, outprefix + ".rsh")
+    if sharded:
+        from ..io.rsh import RshIndex
+        part = os.path.join(outdir,
+                            f"{outprefix}.part{shard[0]}of{shard[1]}.npz")
+        idx.write_npz(part)
+        dist.barrier()
+        if not dist.is_main():
+            return 0
+        parts = [RshIndex.read_npz(os.path.join(
+            outdir, f"{outprefix}.part{i}of{shard[1]}.npz"))
+            for i in range(shard[1])]
+        with phase("merging shard partials", cfg.verbose):
+            idx = RshIndex.merge(parts)
     with phase("writing rsh file", cfg.verbose):
         idx.write_text(rsh_path)
         idx.write_npz(rsh_path + ".npz")

@@ -359,16 +359,23 @@ def _se_chunk(acc: SignatureAccumulator, tx: Transcriptome, p16_dev,
 
 def build_pe_index(tx: Transcriptome, readlength: int, cfg: BuildConfig,
                    backend: str = "auto",
-                   sfa_path: Optional[str] = None) -> RshIndex:
-    """Build a PE rsh index for one read length and a fragment-length range."""
+                   sfa_path: Optional[str] = None,
+                   shard=None) -> RshIndex:
+    """Build a PE rsh index for one read length and a fragment-length range.
+
+    ``shard=(i, n)``: this process builds every n-th cluster chunk
+    (device backend only); merge the partials with RshIndex.merge."""
     backend = _resolve_backend(backend)
     if backend == "device":
         from . import device_build
         if sfa_path is None:
             try:
-                return device_build.build_pe_index_device(tx, readlength, cfg)
+                return device_build.build_pe_index_device(tx, readlength,
+                                                          cfg, shard=shard)
             except (device_build.DeviceBuildUnsupported,
                     device_build.DeviceBuildOverflow) as e:
+                if shard is not None:
+                    raise
                 _warn_fallback(cfg, "jax", str(e), tx=tx)
         else:
             _warn_fallback(cfg, "jax", "-T/--print_sfa requested (the "

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -780,11 +780,12 @@ def _pe_partition_multi(SP, RANK, n_valid, Lp: int):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "nblk", "nfl", "K", "seqlength", "readlength",
-                     "ntid"),
+                     "ntid", "shard_i", "shard_n"),
     donate_argnums=(0,))
 def _pe_single_slabs(dense_s, DD, T32, NS, SNG, d0,
                      S: int, nblk: int, nfl: int, K: int, seqlength: int,
-                     readlength: int, ntid: int):
+                     readlength: int, ntid: int, shard_i: int = 0,
+                     shard_n: int = 1):
     """Fast singleton-cluster pass: contiguous position slabs, ZERO
     gathers, ZERO sorts (stranded builds).
 
@@ -812,7 +813,7 @@ def _pe_single_slabs(dense_s, DD, T32, NS, SNG, d0,
 
     def body(k, carry):
         dense, flag = carry
-        p0 = k * S
+        p0 = (shard_i + k * shard_n) * S
         i = jnp.arange(S, dtype=jnp.int32)
         p = p0 + i
         sng = jax.lax.dynamic_slice(SNG, (p0,), (S,)) == 1
@@ -2059,8 +2060,18 @@ def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
 
 
 def build_pe_index_device(tx: Transcriptome, readlength: int,
-                          cfg: BuildConfig) -> RshIndex:
-    """PE rsh index, fully device-resident (see module docstring)."""
+                          cfg: BuildConfig,
+                          shard: Optional[Tuple[int, int]] = None
+                          ) -> RshIndex:
+    """PE rsh index, fully device-resident (see module docstring).
+
+    ``shard=(i, n)``: process-sharded build — this invocation owns every
+    n-th expansion chunk and singleton slab (clusters partition across
+    chunks, so per-shard EUMA counts are disjoint and RshIndex.merge
+    reassembles the exact single-process output).  The multi-host story
+    for BASELINE config 4's build half; the reference itself shards
+    clusters across threads (src/emsar_functions.c:2839), this shards
+    the same axis across processes."""
     rl = int(readlength)
     fl_min = max(cfg.min_fraglength, rl)
     fl_max = max(cfg.max_fraglength, fl_min)
@@ -2080,7 +2091,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     Npos = n_fw * (2 if two else 1)
 
     n1 = (int(tx.seqlength) if two else int(tx.borderpos)) - rl + 1
-    use_global = _pad_to(n1, 256) * nfl <= PE_GLOBAL_BUDGET
+    shard_i, shard_n = shard if shard is not None else (0, 1)
+    # sharded builds always take the chunked path (the global pipeline
+    # has no chunk axis to partition)
+    use_global = (shard is None
+                  and _pad_to(n1, 256) * nfl <= PE_GLOBAL_BUDGET)
     # fast singleton path (slab slices + neighbor distances): stranded
     # chunked builds only — the unstranded orientation rule masks
     # candidates per (mate1, mate2) pair, which a per-position
@@ -2157,12 +2172,13 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     dense_s = jnp.zeros(tx.n_transcripts * nfl, jnp.int32)
     if fast_singles:
         S = min(1 << 17, _next_pow2(max(n1, 1024)))
-        nblk = (n1 + S - 1) // S
+        nblk_glob = (n1 + S - 1) // S
+        nblk = len(range(shard_i, nblk_glob, shard_n))
         with phase(f"PE dev: singleton slab pass ({ns_i} pos, "
                    f"{nblk} slabs)", cfg.verbose):
             NS = ref.nsep
             DDs, T32s, NSs, SNGs = DD, T32, NS, SNG
-            margin = nblk * S + d0 + nfl + 8 - ref.Lp
+            margin = nblk_glob * S + d0 + nfl + 8 - ref.Lp
             if margin > 0:
                 # tiny transcriptomes: pad so slab slices stay in bounds
                 # (at human scale mate1 slices live in the fw half and
@@ -2176,7 +2192,7 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                 dense_s, DDs, T32s, NSs, SNGs, jnp.int32(d0),
                 S=S, nblk=nblk, nfl=nfl, K=1 << 13,
                 seqlength=int(tx.seqlength), readlength=rl,
-                ntid=tx.n_transcripts)
+                ntid=tx.n_transcripts, shard_i=shard_i, shard_n=shard_n)
             if bool(np.asarray(sflag)):
                 raise DeviceBuildOverflow(
                     "singleton slab tid-run capacity exceeded")
@@ -2193,7 +2209,7 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                 SPs = jnp.concatenate([SPs, jnp.full(Ss, -1, jnp.int32)])
                 RKs = jnp.concatenate(
                     [RKs, jnp.full(Ss, BIG_RANK, jnp.int32)])
-            for k in range(n_schunks):
+            for k in range(shard_i, n_schunks, shard_n):
                 dense_s = _pe_single_chunk(
                     dense_s, SPs, RKs, RW, RF32, T32, ref.nsep,
                     jnp.int32(k * Ss), jnp.int32(d0), Ss=Ss, nfl=nfl,
@@ -2221,11 +2237,12 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         # depth-2 software pipeline: chunk k+1's expansion is dispatched
         # before chunk k's probe counters are fetched, so the device keeps
         # working through the host round trip
-        pending = expand(0) if n_chunks else None
-        for k in range(n_chunks):
+        ks = list(range(shard_i, n_chunks, shard_n))
+        pending = expand(ks[0]) if ks else None
+        for ki, k in enumerate(ks):
             if profile:
                 t0 = _time.perf_counter()
-            nxt = expand(k + 1) if k + 1 < n_chunks else None
+            nxt = expand(ks[ki + 1]) if ki + 1 < len(ks) else None
             sck, srk, spay, rc_d, me_d = pending
             rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
             Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), E,

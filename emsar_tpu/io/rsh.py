@@ -245,6 +245,56 @@ class RshIndex:
                             multi_euma=z["multi_euma"])
 
     @staticmethod
+    def merge(parts: List["RshIndex"]) -> "RshIndex":
+        """Sum per-shard partial indexes (process-sharded builds).
+
+        Cluster shards partition the reference's run space
+        (process_mate1_cluster_by_mate_3 owns each mate1 cluster exactly
+        once, src/emsar_functions.c:2839), so partial EUMA counts add:
+        single-transcript rows add per tid, multi rows merge by identical
+        tid multiset, and the canonical (size, tuple) row order is
+        restored over the union."""
+        base = parts[0]
+        for p in parts[1:]:
+            if (p.names != base.names or p.readlength != base.readlength
+                    or p.min_fraglength != base.min_fraglength
+                    or p.max_fraglength != base.max_fraglength):
+                raise ValueError("partial indexes disagree on header")
+        single = np.zeros_like(base.single_euma)
+        for p in parts:
+            single += p.single_euma
+        acc: Dict[bytes, np.ndarray] = {}
+        sig_of: Dict[bytes, np.ndarray] = {}
+        for p in parts:
+            off = p.sig_offsets
+            tids = np.ascontiguousarray(p.sig_tids, dtype=np.int32)
+            for i in range(p.n_multi):
+                key = tids[off[i]:off[i + 1]].tobytes()
+                row = acc.get(key)
+                if row is None:
+                    acc[key] = p.multi_euma[i].astype(np.int64).copy()
+                    sig_of[key] = tids[off[i]:off[i + 1]]
+                else:
+                    row += p.multi_euma[i]
+        order = sorted(acc, key=lambda k: (len(k), tuple(sig_of[k])))
+        n_multi = len(order)
+        nfl = base.n_fraglen
+        multi = np.zeros((n_multi, nfl), dtype=np.int64)
+        offs = np.zeros(n_multi + 1, dtype=np.int64)
+        tid_chunks = []
+        for j, k in enumerate(order):
+            multi[j] = acc[k]
+            tid_chunks.append(sig_of[k])
+            offs[j + 1] = offs[j] + len(sig_of[k])
+        sig_tids = (np.concatenate(tid_chunks).astype(np.int32)
+                    if tid_chunks else np.zeros(0, np.int32))
+        return RshIndex(names=base.names, readlength=base.readlength,
+                        min_fraglength=base.min_fraglength,
+                        max_fraglength=base.max_fraglength,
+                        single_euma=single, sig_offsets=offs,
+                        sig_tids=sig_tids, multi_euma=multi)
+
+    @staticmethod
     def load(path: str) -> "RshIndex":
         """Load from .npz sidecar if present and newer, else parse text."""
         import os
