@@ -312,14 +312,17 @@ def solve_dense_restarts(batch: DenseBatch, inits: np.ndarray,
                          max_blocks: int = 2048) -> np.ndarray:
     """Solve one dense size class from ``inits`` [R, B, T] (the restart
     rounds behind sd.of.FPKM); returns theta [R, B, T]."""
+    batch, B0 = _pad_b(batch)
     B, C, T = batch.shape
+    if B != B0:
+        inits = np.pad(inits, ((0, 0), (0, B - B0), (0, 0)))
     E = jnp.asarray(batch.eumaps)
     th, _ = _dense_restart_jax(jnp.asarray(batch.flat_idx), E,
                                jnp.asarray(batch.reads),
                                jnp.asarray(inits.astype(batch.eumaps.dtype)),
                                jnp.asarray(epsilon, E.dtype),
                                B, C, T, block_iters, max_blocks)
-    return np.asarray(th)
+    return np.asarray(th)[:, :B0]
 
 
 # --------------------------------------------------------------------------
@@ -446,19 +449,53 @@ def _dense_solve_pallas(flat_idx, eumaps, reads, epsilon,
     return th, it
 
 
+def _quantize_b(b: int) -> int:
+    """Round the batch axis up to ~8 shapes per octave (<= 12.5% inert
+    pad rows).  Distinct module counts otherwise compile a fresh
+    executable per (fixture, sample) — each a 1-5 minute remote compile
+    through the relay on the TPU tunnel (the 167k-transcript scale
+    workload's per-process cold start was dominated by these)."""
+    if b <= 8:
+        return 8
+    p2 = 1 << (b - 1).bit_length()
+    step = max(p2 // 8, 8)
+    return -(-b // step) * step
+
+
+def _pad_b(batch: DenseBatch) -> Tuple[DenseBatch, int]:
+    """Pad the batch axis to a quantized size with inert rows (E = R = 0,
+    no incidences: zero denominator, zero theta, zero likelihood gain)."""
+    B, C, T = batch.shape
+    Bp = _quantize_b(B)
+    if Bp == B:
+        return batch, B
+    pad = Bp - B
+    return DenseBatch(
+        shape=(Bp, C, T), flat_idx=batch.flat_idx,
+        eumaps=np.pad(batch.eumaps, ((0, pad), (0, 0))),
+        reads=np.pad(batch.reads, ((0, pad), (0, 0))),
+        tid_map=np.pad(batch.tid_map, ((0, pad), (0, 0)),
+                       constant_values=-1),
+        sids=np.pad(batch.sids, (0, pad), constant_values=-1)), B
+
+
 def solve_dense_batch(batch: DenseBatch, epsilon: float,
                       block_iters: int = 8, max_blocks: int = 2048,
                       use_pallas: bool = False
                       ) -> Tuple[np.ndarray, int]:
     """Solve one dense size class; returns (theta [B, T], n_blocks)."""
-    B, C, T = batch.shape
-    E = jnp.asarray(batch.eumaps)
-    R = jnp.asarray(batch.reads)
     if not use_pallas:
+        batch, B0 = _pad_b(batch)
+        B, C, T = batch.shape
+        E = jnp.asarray(batch.eumaps)
+        R = jnp.asarray(batch.reads)
         th, it = _dense_solve_jax(jnp.asarray(batch.flat_idx), E, R,
                                   jnp.asarray(epsilon, E.dtype),
                                   B, C, T, block_iters, max_blocks)
-        return np.asarray(th), int(it)
+        return np.asarray(th)[:B0], int(it)
+    B, C, T = batch.shape
+    E = jnp.asarray(batch.eumaps)
+    R = jnp.asarray(batch.reads)
     # Mosaic tiling: the block's batch dim must be a multiple of 8 (the
     # f32 sublane count), so pad B up and tile in 8-row multiples; pad
     # rows have E = R = 0 and are inert (theta0 = 0, zero gain).  The

@@ -34,13 +34,27 @@ from emsar_tpu.index.device_build import (build_pe_index_device,  # noqa: E402
 
 def main():
     pe = "--pe" in sys.argv
+    f1400 = "--f1400" in sys.argv
     t0 = time.perf_counter()
     tx = read_fasta(os.path.join(CACHE, "scale.fa"), "E")
     print(f"[scale] fasta read: {time.perf_counter()-t0:.1f}s  "
           f"{tx.n_transcripts} tx, {tx.borderpos/1e6:.0f} M fw chars",
           flush=True)
     t0 = time.perf_counter()
-    if pe:
+    if f1400:
+        # BASELINE config 4, full range: PE l101 F1-400 ssfr, ~101 G
+        # candidates (reference d-loop src/emsar_functions.c:2854-2872).
+        # Golden: the reference's own -p 2 run (13,142 s) — its PE race
+        # affects multi-thread runs; diffs are adjudicated against -p 1
+        # semantics like the F290-300 case (BASELINE_MEASURED round-4).
+        cfg = BuildConfig(verbose=2, pe=True, min_fraglength=1,
+                          max_fraglength=400)
+        cfg.strand = StrandType.parse("ssfr", True)
+        idx = build_pe_index_device(tx, 101, cfg)
+        golden = os.path.join(CACHE, "refscale_pe400.rsh")
+        ours = os.path.join(CACHE, "scale_pe400.ours.rsh")
+        ref_note = "reference: 13142 s -p2 (racy)"
+    elif pe:
         cfg = BuildConfig(verbose=2, pe=True, min_fraglength=290,
                           max_fraglength=300)
         cfg.strand = StrandType.parse("ssfr", True)
