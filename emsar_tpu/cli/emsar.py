@@ -335,6 +335,14 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                    and len(alnfiles) > 1 and all(alnfiles))
     executor = None
     pending = None
+    # single-sample ingest/decomposition overlap: the module
+    # decomposition is index-only at EUMAcut 0 (quantify.index_modules),
+    # so compute it on a worker thread while the alignment file streams
+    import threading as _threading
+    from ..model.quantify import index_modules as _index_modules
+    _threading.Thread(target=_index_modules, args=(index,),
+                      daemon=True).start()
+
     if prefetch_ok:
         import concurrent.futures
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)

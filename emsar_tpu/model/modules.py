@@ -17,7 +17,7 @@ reference's assignment order for output parity.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -109,9 +109,18 @@ class ModuleDecomposition:
 
 def decompose_modules(graph: SegmentGraph, euma_cut: float = 0.0,
                       max_ntid_per_sid: int = MAX_NTID_PER_SID,
-                      verbose: int = 0) -> ModuleDecomposition:
+                      verbose: int = 0, fail_on_oversize: bool = False
+                      ) -> Optional[ModuleDecomposition]:
     """Union tids through active segments; raise EUMAcut until every module
-    has <= max_ntid_per_sid transcripts."""
+    has <= max_ntid_per_sid transcripts.
+
+    At euma_cut == 0 the active set is every segment (the reference cut
+    is strict '<', propagate_2 src/emsar_functions.c:2242), so the
+    decomposition is a pure function of the INDEX — sample-independent —
+    unless the oversize loop raises the cut (then adjEUMA values
+    matter).  ``fail_on_oversize`` returns None instead of looping, so
+    callers can cache the index-only result (see quantify.index_modules)
+    and fall back to the data-dependent loop only when needed."""
     ntid = graph.n_transcripts
     n_cid = graph.n_cid
     off, tids = graph.ct_offsets, graph.ct_tids
@@ -130,6 +139,8 @@ def decompose_modules(graph: SegmentGraph, euma_cut: float = 0.0,
         comp_sizes = np.bincount(roots, minlength=ntid)
         # component tid-count == number of tids whose root is r
         if comp_sizes.max(initial=0) > max_ntid_per_sid:
+            if fail_on_oversize:
+                return None
             euma_cut += EUMACUT_INCREMENT
             if verbose:
                 print(f"[emsar] module too big "

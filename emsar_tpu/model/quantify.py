@@ -9,6 +9,7 @@ inferred read counts.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Optional
 
 import numpy as np
@@ -58,6 +59,37 @@ def compute_wf(index: RshIndex, fraglength_counts: np.ndarray) -> np.ndarray:
     return wf / s if s > 0 else wf * np.nan
 
 
+def index_modules(index: RshIndex) -> Optional[ModuleDecomposition]:
+    """The index-only module decomposition, cached on the index object.
+
+    At EUMAcut == 0 every segment is active regardless of the sample's
+    fragment-length weights (the reference cut is strict '<',
+    propagate_2 src/emsar_functions.c:2242), so the decomposition
+    depends only on the index's transcript-sharing structure.  Returns
+    None when a component exceeds MAX_NTID_PER_SID — the EUMAcut loop
+    then needs real adjEUMA values (quantify_sample falls back).
+
+    Idempotent and thread-safe: CLI paths call this on a worker thread
+    while the alignment file is still streaming, overlapping the
+    decomposition with ingest."""
+    cached = getattr(index, "_modules_cache", None)
+    if cached is not None:
+        return cached[0]
+    with _MODULES_LOCK:
+        cached = getattr(index, "_modules_cache", None)
+        if cached is not None:
+            return cached[0]
+        ncid = index.n_cid
+        graph0 = build_segment_graph(index, np.ones(ncid),
+                                     np.zeros(ncid, dtype=np.int64))
+        mods = decompose_modules(graph0, fail_on_oversize=True)
+        index._modules_cache = (mods,)
+    return mods
+
+
+_MODULES_LOCK = threading.Lock()
+
+
 def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
                     ) -> QuantResult:
     with phase("fragment-length weighting", cfg.verbose):
@@ -71,7 +103,12 @@ def quantify_sample(index: RshIndex, counts: SampleCounts, cfg: QuantConfig
 
     with phase("module decomposition", cfg.verbose):
         graph = build_segment_graph(index, adj_euma, read_count)
-        modules = decompose_modules(graph, verbose=cfg.verbose)
+        # index-only decomposition (cached; possibly prefetched on a
+        # worker thread during ingest) — the EUMAcut loop with real
+        # adjEUMA values only when a module oversizes
+        modules = index_modules(index)
+        if modules is None:
+            modules = decompose_modules(graph, verbose=cfg.verbose)
 
     with phase("EM solve", cfg.verbose):
         # EUMAps (reference construct_EUMAps :3148-3154)
