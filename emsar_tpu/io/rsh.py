@@ -123,22 +123,27 @@ class RshIndex:
             for j, name in enumerate(self.names):
                 fh.write(f"@{j}\t{name}\n")
             fh.write("cid\tno.tids\tfirst.tid\tother.tids\tsegment.length\n")
-            # single-transcript segments
+            # single-transcript segments (.tolist() first: Python-int rows
+            # format ~2x faster than numpy scalars — the human F1-400
+            # index holds 462k rows x 300 EUMA columns)
             has = self.has_single
+            single_rows = self.single_euma[:, :nfl].tolist()
             cid = 0
             for j in range(self.n_transcripts):
                 if not has[j]:
                     fh.write(f"{cid}\t1\t{j}\t\t\t\n")
                 else:
-                    euma = ",".join(map(str, self.single_euma[j, :nfl]))
+                    euma = ",".join(map(str, single_rows[j]))
                     fh.write(f"{cid}\t1\t{j}\t\t{euma},\n")
                 cid += 1
             # multi-transcript segments, already in canonical (size, tuple) order
             off = self.sig_offsets
+            multi_rows = self.multi_euma[:, :nfl].tolist()
+            sig_list = self.sig_tids.tolist()
             for r in range(self.n_multi):
-                tids = self.sig_tids[off[r]:off[r + 1]]
+                tids = sig_list[off[r]:off[r + 1]]
                 others = "".join(f"{t}," for t in tids[1:])
-                euma = ",".join(map(str, self.multi_euma[r, :nfl]))
+                euma = ",".join(map(str, multi_rows[r]))
                 fh.write(f"{cid}\t{len(tids)}\t{tids[0]}\t{others}\t{euma},\n")
                 cid += 1
 
