@@ -319,6 +319,18 @@ def run_quantifier(cfg: QuantConfig, fastafile: str, rshfile: str,
                                 pe_readlength, outdir, outprefix, alnfiles)
 
     if cfg.batch_samples and cfg.multisample and len(alnfiles) > 1:
+        # --batch_samples maps the sample axis onto a dp device mesh (the
+        # multi-chip config-5 layout).  On a SINGLE chip the per-sample
+        # loop is the blessed path: it rides the dense-MXU module batches
+        # and overlaps each solve with the next file's ingest, while the
+        # batched path runs the sharded CSR solve gated by the slowest
+        # sample (measured 11.1 s vs 10.5 s for 16 bench samples on one
+        # chip; BENCH_r04 ms16_* keys).
+        import jax as _jax
+        if cfg.verbose > 0 and len(_jax.devices()) == 1:
+            print("[emsar] note: --batch_samples targets multi-chip "
+                  "meshes; on one device the per-sample loop (default) "
+                  "is typically faster")
         rc = _run_batched(cfg, index, name_to_tid, native_collapser,
                           pe_readlength, outdir, outprefix, alnfiles)
         if rc is not None:
