@@ -459,6 +459,18 @@ def _dd_pack(SP, start, valid):
                      jnp.uint32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("Lp",))
+def _dd_from_stream(SP, RK, Lp: int):
+    """Neighbor-distance table from the bucket-major (position, rank)
+    stream of the partitioned rank pass (valid rows are a contiguous
+    prefix; garbage tail rows carry BIG_RANK/-1 and are masked)."""
+    valid = (RK != BIG_RANK) & (SP >= 0)
+    start = jnp.concatenate([jnp.ones(1, bool), RK[1:] != RK[:-1]])
+    return jnp.zeros(Lp, jnp.uint32).at[
+        jnp.where(valid, SP, Lp)].set(_dd_pack(SP, start, valid),
+                                      mode="drop", unique_indices=True)
+
+
 @functools.partial(jax.jit, static_argnames=("Lp", "with_dd"),
                    donate_argnums=(0, 1, 2))
 def _pe_rank_finish(S1, S2, S3, SP, n_valid, Lp: int, with_dd: bool = False):
@@ -1938,8 +1950,9 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg,
         _psync(PP)
     with phase(f"PE dev: rank {B} bucket sorts (cap {Bcap})", cfg.verbose):
         R = jnp.full(ref.Lp, BIG_RANK, jnp.int32)
-        DD = (jnp.zeros(ref.Lp, jnp.uint32) if with_dd
-              else jnp.zeros(8, jnp.uint32))
+        # DD builds AFTER the loop from (SPo, RKo): allocating the [Lp]
+        # table while the partition copies are live OOMs at human scale
+        DD = jnp.zeros(8, jnp.uint32)
         SPo = jnp.full(out_size, -1, jnp.int32)
         RKo = jnp.full(out_size, BIG_RANK, jnp.int32)
         base = jnp.zeros((), jnp.int32)
@@ -1954,10 +1967,17 @@ def _pe_rank_hashsort(tx, ref: DeviceRef, rl: int, two: bool, cfg,
             R, DD, SPo, RKo, base, maxcl = _pe_bucket_rank(
                 R, DD, SPo, RKo, base, maxcl, S1, S2, S3, SSP,
                 jnp.int32(int(counts[b])), jnp.int32(int(off[b])),
-                Bcap=Bcap, Lp=ref.Lp, with_dd=with_dd)
+                Bcap=Bcap, Lp=ref.Lp, with_dd=False)
             del S1, S2, S3, SSP
         del P1, P2, P3, PP
         maxcl_i = int(np.asarray(maxcl))
+    if with_dd:
+        # the bucket-major stream is rank-grouped with positions
+        # ascending within each rank run (position is the 4th sort key),
+        # so the neighbor-distance table derives in one pass now that
+        # the partition copies are freed
+        with phase("PE dev: neighbor distances", cfg.verbose):
+            DD = _dd_from_stream(SPo, RKo, Lp=ref.Lp)
     return SPo, RKo, maxcl_i, n_valid, R, DD
 
 
@@ -2171,7 +2191,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     # positions resolve without the global candidate sort
     dense_s = jnp.zeros(tx.n_transcripts * nfl, jnp.int32)
     if fast_singles:
-        S = min(1 << 17, _next_pow2(max(n1, 1024)))
+        # wide fragment ranges shrink the slab so the [nfl, S] loop
+        # temporaries stay ~0.3 GB (the human F1-400 singleton pass runs
+        # next to ~14 GB of resident tables)
+        S = min(1 << 17 if nfl < 128 else 1 << 16,
+                _next_pow2(max(n1, 1024)))
         nblk_glob = (n1 + S - 1) // S
         nblk = len(range(shard_i, nblk_glob, shard_n))
         with phase(f"PE dev: singleton slab pass ({ns_i} pos, "

@@ -196,3 +196,24 @@ def test_singleton_multi_d_drop(tmp_path, strand):
     ours = str(tmp_path / "ours.rsh")
     idx.write_text(ours)
     assert open(ours, "rb").read() == open(ref_rsh, "rb").read()
+
+
+def test_partitioned_rank_fast_singles(tmp_path, monkeypatch):
+    """Partitioned rank pass + cluster-chunked expansion + fast singleton
+    slab pass together (the human F1-400 combination): the
+    neighbor-distance table derives from the bucket-major stream AFTER
+    the partition copies are freed (_dd_from_stream; building it inside
+    the bucket loop OOMed at human scale)."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    rng = np.random.default_rng(142)
+    names, seqs = random_transcriptome(rng, 30, min_len=100, max_len=400,
+                                       shared_frac=0.5)
+    tx = build_transcriptome(names, seqs)
+    cfg = BuildConfig(pe=True, strand=StrandType.parse("ssfr", True),
+                      min_fraglength=1, max_fraglength=100, verbose=0)
+    single = build_pe_index(tx, 24, cfg, backend="device")
+    cfg.device_sort_limit = 1 << 11
+    part = build_pe_index(tx, 24, cfg, backend="device")
+    assert _text(part, tmp_path, "p.rsh") == _text(single, tmp_path,
+                                                   "1.rsh")
