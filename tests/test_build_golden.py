@@ -117,6 +117,16 @@ def test_pe_multislab_hash_golden(tmp_path, monkeypatch):
               pe=True, strand="ssfr", max_frag=70, min_frag=1)
 
 
+def test_pe_stranded_chunk_with_N_golden(tmp_path, monkeypatch):
+    """Fast singleton slab pass with N-containing sequences: invalid
+    windows carry a zero neighbor-distance word and must drop exactly
+    like the reference's noncanonical filter."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(29), n=12, readlength=15,
+              pe=True, strand="ssfr", max_frag=70, min_frag=1, n_frac=0.02)
+
+
 def test_pe_wide_fraglen_chunk_golden(tmp_path, monkeypatch):
     """F1-400-like config (minfrag clamps to readlength, wide nFraglen)
     through the cluster-chunked path: ssfr exercises the fast singleton
