@@ -443,18 +443,20 @@ def _dd_pack(SP, start, valid):
     """Per sorted row: packed (next_gap << 16) | prev_gap neighbor
     distances to the nearest SAME-window position (the rank sort carries
     position as a key, so within-run positions are ascending).  65535 =
-    no in-run neighbor on that side; a whole-word 0 marks an invalid
-    window.  Real gaps clip to [1, 65535] — every row-local test compares
-    against d-offsets < 512, far below the clip."""
+    STRICTLY no in-run neighbor on that side (real gaps clip to 65534),
+    so DD[p] == 0xFFFFFFFF identifies singleton-cluster positions — no
+    separate mask table; a whole-word 0 marks an invalid window.  Every
+    row-local test compares against d-offsets < 512, far below the
+    clip."""
     prev_gap = jnp.where(
         start, 65535,
         jnp.clip(SP - jnp.concatenate([jnp.zeros(1, SP.dtype), SP[:-1]]),
-                 1, 65535)).astype(jnp.uint32)
+                 1, 65534)).astype(jnp.uint32)
     nxt_start = jnp.concatenate([start[1:], jnp.ones(1, bool)])
     next_gap = jnp.where(
         nxt_start, 65535,
         jnp.clip(jnp.concatenate([SP[1:], jnp.zeros(1, SP.dtype)]) - SP,
-                 1, 65535)).astype(jnp.uint32)
+                 1, 65534)).astype(jnp.uint32)
     return jnp.where(valid, (next_gap << jnp.uint32(16)) | prev_gap,
                      jnp.uint32(0))
 
@@ -760,33 +762,45 @@ def _pe_partition_clusters(SP, RANK, n_valid):
     return SPs, RKs, SPm, RKm, ns, nm
 
 
-@functools.partial(jax.jit, static_argnames=("Lp",), donate_argnums=(0, 1))
-def _pe_partition_multi(SP, RANK, n_valid, Lp: int):
-    """Multi-cluster compaction + a singleton POSITION mask.
-
-    Fast-singleton variant of :func:`_pe_partition_clusters`: singleton
-    mate1 positions are consumed by the slab pass in position space
-    (:func:`_pe_single_slabs`), so only the multi stream needs the
-    rank-ordered compaction.  Returns (SNG, SPm, RKm, ns, nm)."""
+@jax.jit
+def _pe_cluster_counts(SP, RANK, n_valid):
+    """(ns, nm): positions in singleton vs multi mate1 clusters."""
     N = SP.shape[0]
     j = jnp.arange(N, dtype=jnp.int32)
     valid = j < n_valid
     start = jnp.concatenate([jnp.ones(1, bool), RANK[1:] != RANK[:-1]])
     my_s, nxt_s = _run_bounds(start)
     size = nxt_s[jnp.clip(my_s, 0, N - 1)] - my_s
-    single = valid & (size == 1)
+    return (jnp.sum(valid & (size == 1), dtype=jnp.int32),
+            jnp.sum(valid & (size >= 2), dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("N_out",),
+                   donate_argnums=(0, 1))
+def _pe_compact_multi(SP, RANK, n_valid, N_out: int):
+    """Compact multi-cluster rows into right-sized buffers.
+
+    Fast-singleton variant of :func:`_pe_partition_clusters`: singleton
+    mate1 positions need no mask or stream — the slab pass reads
+    singleton-ness straight off the neighbor-distance table
+    (DD[p] == 0xFFFFFFFF: no same-window neighbor on either side), so
+    only the multi stream is materialized, sized by a prior counts pass
+    (a full-size 4-output compaction next to the DD table OOMed at human
+    scale)."""
+    N = SP.shape[0]
+    j = jnp.arange(N, dtype=jnp.int32)
+    valid = j < n_valid
+    start = jnp.concatenate([jnp.ones(1, bool), RANK[1:] != RANK[:-1]])
+    my_s, nxt_s = _run_bounds(start)
+    size = nxt_s[jnp.clip(my_s, 0, N - 1)] - my_s
     multi = valid & (size >= 2)
-    ns = jnp.sum(single, dtype=jnp.int32)
-    nm = jnp.sum(multi, dtype=jnp.int32)
-    SNG = jnp.zeros(Lp, jnp.uint8).at[
-        jnp.where(single, SP, Lp)].set(jnp.uint8(1), mode="drop",
-                                       unique_indices=True)
-    dst_m = jnp.where(multi, jnp.cumsum(multi.astype(jnp.int32)) - 1, N)
-    SPm = jnp.full(N, -1, jnp.int32).at[dst_m].set(SP, mode="drop",
-                                                   unique_indices=True)
-    RKm = jnp.full(N, BIG_RANK, jnp.int32).at[dst_m].set(
+    dst_m = jnp.where(multi, jnp.cumsum(multi.astype(jnp.int32)) - 1,
+                      N_out)
+    SPm = jnp.full(N_out, -1, jnp.int32).at[dst_m].set(
+        SP, mode="drop", unique_indices=True)
+    RKm = jnp.full(N_out, BIG_RANK, jnp.int32).at[dst_m].set(
         RANK, mode="drop", unique_indices=True)
-    return SNG, SPm, RKm, ns, nm
+    return SPm, RKm
 
 
 @functools.partial(
@@ -794,7 +808,7 @@ def _pe_partition_multi(SP, RANK, n_valid, Lp: int):
     static_argnames=("S", "nblk", "nfl", "K", "seqlength", "readlength",
                      "ntid", "shard_i", "shard_n"),
     donate_argnums=(0,))
-def _pe_single_slabs(dense_s, DD, T32, NS, SNG, d0,
+def _pe_single_slabs(dense_s, DD, T32, NS, d0,
                      S: int, nblk: int, nfl: int, K: int, seqlength: int,
                      readlength: int, ntid: int, shard_i: int = 0,
                      shard_n: int = 1):
@@ -828,7 +842,11 @@ def _pe_single_slabs(dense_s, DD, T32, NS, SNG, d0,
         p0 = (shard_i + k * shard_n) * S
         i = jnp.arange(S, dtype=jnp.int32)
         p = p0 + i
-        sng = jax.lax.dynamic_slice(SNG, (p0,), (S,)) == 1
+        # singleton mate1 cluster <=> the window at p has no same-window
+        # neighbor on either side (65535 strictly means "none"; invalid
+        # windows carry 0)
+        sng = jax.lax.dynamic_slice(DD, (p0,), (S,)) == jnp.uint32(
+            0xFFFFFFFF)
         t = jax.lax.dynamic_slice(T32, (p0,), (S,))
         nsp = jax.lax.dynamic_slice(NS, (p0,), (S,))
         dmax = nsp - rl - p
@@ -2134,25 +2152,28 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
 
     with phase("PE dev: cluster partition", cfg.verbose):
         if fast_singles:
-            SNG, SPm, RKm, ns_d, nm_d = _pe_partition_multi(
-                spos, rank, jnp.int32(nvalid_i), Lp=ref.Lp)
+            ns_d, nm_d = _pe_cluster_counts(spos, rank, jnp.int32(nvalid_i))
+            ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
+            nm_cap = min(_quantize_size(nm_i + 256), spos.shape[0])
+            SPm, RKm = _pe_compact_multi(spos, rank, jnp.int32(nvalid_i),
+                                         N_out=nm_cap)
             SPs = RKs = None
         else:
             SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
                 spos, rank, jnp.int32(nvalid_i))
-        ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
-        # the compacted streams live in full-size buffers; shrink to the
-        # occupied prefix (rows beyond are already sentinels) — at human
-        # scale the four full buffers alone are ~6.8 GB
-        N_full = SPm.shape[0]
-        ns_cap = min(_quantize_size(ns_i + 256), N_full)
-        nm_cap = min(_quantize_size(nm_i + 256), N_full)
-        if SPs is not None and ns_cap < N_full:
-            SPs = _shrink(SPs, ns_cap)
-            RKs = _shrink(RKs, ns_cap)
-        if nm_cap < N_full:
-            SPm = _shrink(SPm, nm_cap)
-            RKm = _shrink(RKm, nm_cap)
+            ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
+            # the compacted streams live in full-size buffers; shrink to
+            # the occupied prefix (rows beyond are already sentinels) —
+            # at human scale the four full buffers alone are ~6.8 GB
+            N_full = SPm.shape[0]
+            ns_cap = min(_quantize_size(ns_i + 256), N_full)
+            nm_cap = min(_quantize_size(nm_i + 256), N_full)
+            if ns_cap < N_full:
+                SPs = _shrink(SPs, ns_cap)
+                RKs = _shrink(RKs, ns_cap)
+            if nm_cap < N_full:
+                SPm = _shrink(SPm, nm_cap)
+                RKm = _shrink(RKm, nm_cap)
 
     V = _next_pow2(max(maxcl_i + 1, 8))
     if V * nfl * 2 > max(int(cfg.pe_chunk_candidates), 4 * nfl):
@@ -2201,7 +2222,7 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         with phase(f"PE dev: singleton slab pass ({ns_i} pos, "
                    f"{nblk} slabs)", cfg.verbose):
             NS = ref.nsep
-            DDs, T32s, NSs, SNGs = DD, T32, NS, SNG
+            DDs, T32s, NSs = DD, T32, NS
             margin = nblk_glob * S + d0 + nfl + 8 - ref.Lp
             if margin > 0:
                 # tiny transcriptomes: pad so slab slices stay in bounds
@@ -2211,16 +2232,15 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                 T32s = jnp.concatenate([T32, jnp.zeros(margin, jnp.int32)])
                 NSs = jnp.concatenate(
                     [NS, jnp.full(margin, ref.Lp, jnp.int32)])
-                SNGs = jnp.concatenate([SNG, jnp.zeros(margin, jnp.uint8)])
             dense_s, sflag = _pe_single_slabs(
-                dense_s, DDs, T32s, NSs, SNGs, jnp.int32(d0),
+                dense_s, DDs, T32s, NSs, jnp.int32(d0),
                 S=S, nblk=nblk, nfl=nfl, K=1 << 13,
                 seqlength=int(tx.seqlength), readlength=rl,
                 ntid=tx.n_transcripts, shard_i=shard_i, shard_n=shard_n)
             if bool(np.asarray(sflag)):
                 raise DeviceBuildOverflow(
                     "singleton slab tid-run capacity exceeded")
-            del DD, DDs, T32s, NSs, SNG, SNGs
+            del DD, DDs, T32s, NSs
     else:
         del DD
         Ss = MV
