@@ -764,15 +764,18 @@ def _pe_partition_clusters(SP, RANK, n_valid):
 
 @jax.jit
 def _pe_cluster_counts(SP, RANK, n_valid):
-    """(ns, nm): positions in singleton vs multi mate1 clusters."""
+    """(ns, nm): positions in singleton vs multi mate1 clusters.
+
+    A position sits in a size-1 run iff it starts one AND the next row
+    starts another — no run-bounds scans or gathers (their [N]
+    temporaries next to the R/DD tables OOMed at human scale)."""
     N = SP.shape[0]
     j = jnp.arange(N, dtype=jnp.int32)
     valid = j < n_valid
     start = jnp.concatenate([jnp.ones(1, bool), RANK[1:] != RANK[:-1]])
-    my_s, nxt_s = _run_bounds(start)
-    size = nxt_s[jnp.clip(my_s, 0, N - 1)] - my_s
-    return (jnp.sum(valid & (size == 1), dtype=jnp.int32),
-            jnp.sum(valid & (size >= 2), dtype=jnp.int32))
+    nxt = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    ns = jnp.sum(valid & start & nxt, dtype=jnp.int32)
+    return ns, jnp.sum(valid, dtype=jnp.int32) - ns
 
 
 @functools.partial(jax.jit, static_argnames=("N_out",),
@@ -791,9 +794,8 @@ def _pe_compact_multi(SP, RANK, n_valid, N_out: int):
     j = jnp.arange(N, dtype=jnp.int32)
     valid = j < n_valid
     start = jnp.concatenate([jnp.ones(1, bool), RANK[1:] != RANK[:-1]])
-    my_s, nxt_s = _run_bounds(start)
-    size = nxt_s[jnp.clip(my_s, 0, N - 1)] - my_s
-    multi = valid & (size >= 2)
+    nxt = jnp.concatenate([start[1:], jnp.ones(1, bool)])
+    multi = valid & ~(start & nxt)
     dst_m = jnp.where(multi, jnp.cumsum(multi.astype(jnp.int32)) - 1,
                       N_out)
     SPm = jnp.full(N_out, -1, jnp.int32).at[dst_m].set(
