@@ -1635,6 +1635,18 @@ def _shrink(a, n: int):
     return jax.lax.slice(a, (0,), (n,))
 
 
+def _resize_table(a, n: int, fill):
+    """Slice or pad a position-indexed table to n rows.  Stranded
+    fast-path PE builds confine every read to the fw half plus the slab
+    margin, so the four [Lp] tables (R/RW, DD, T32, NS) halve — ~5.4 GB
+    back at human scale."""
+    if a.shape[0] == n:
+        return a
+    if a.shape[0] > n:
+        return _shrink(a, n)
+    return jnp.concatenate([a, jnp.full(n - a.shape[0], fill, a.dtype)])
+
+
 @functools.partial(jax.jit, static_argnames=("MV",), donate_argnums=(0, 1))
 def _pe_prep_ext(spos, rank, MV: int):
     """Padded (position, rank) streams the expansion chunks slice."""
@@ -2195,10 +2207,25 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         # R is donated away here (stranded builds drop it entirely);
         # m1*_ext are built only after the singleton pass frees SPs/RKs
         # — ordering that keeps human-scale peak HBM in budget
-        RW, RF32 = _pe_prep_tables(R, Lp=ref.Lp,
+        if fast_singles:
+            # stranded reads stay in the fw half (+ slab margin): resize
+            # the position tables to LpE (~5.4 GB back at human scale)
+            S = min(1 << 17 if nfl < 128 else 1 << 16,
+                    _next_pow2(max(n1, 1024)))
+            LpE = _quantize_size(_pad_to(n1, S) + S + (fl_max - rl) + 64)
+            R = _resize_table(R, LpE, BIG_RANK)
+            DD = _resize_table(DD, LpE, jnp.uint32(0))
+            T32 = _resize_table(ref.t32(rl), LpE, 0)
+            NS = _resize_table(ref.nsep, LpE, LpE)
+            ref._nsep = None  # drop the full-size cached copy
+        else:
+            S = LpE = None
+            T32 = ref.t32(rl)
+            NS = ref.nsep
+        Lp_k = LpE if fast_singles else ref.Lp
+        RW, RF32 = _pe_prep_tables(R, Lp=Lp_k,
                                    nv=int(tx.seqlength) - rl + 1, two=two)
         del R
-        T32 = ref.t32(rl)
         # partitioned-scale capacities: the record table folds in place
         # and members drain to host, so human-scale cluster-path builds
         # (record totals far beyond any fixed table) stay in budget
@@ -2214,35 +2241,20 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
     # positions resolve without the global candidate sort
     dense_s = jnp.zeros(tx.n_transcripts * nfl, jnp.int32)
     if fast_singles:
-        # wide fragment ranges shrink the slab so the [nfl, S] loop
-        # temporaries stay ~0.3 GB (the human F1-400 singleton pass runs
-        # next to ~14 GB of resident tables)
-        S = min(1 << 17 if nfl < 128 else 1 << 16,
-                _next_pow2(max(n1, 1024)))
         nblk_glob = (n1 + S - 1) // S
         nblk = len(range(shard_i, nblk_glob, shard_n))
+        assert nblk_glob * S + d0 + nfl + 8 <= LpE
         with phase(f"PE dev: singleton slab pass ({ns_i} pos, "
                    f"{nblk} slabs)", cfg.verbose):
-            NS = ref.nsep
-            DDs, T32s, NSs = DD, T32, NS
-            margin = nblk_glob * S + d0 + nfl + 8 - ref.Lp
-            if margin > 0:
-                # tiny transcriptomes: pad so slab slices stay in bounds
-                # (at human scale mate1 slices live in the fw half and
-                # never approach Lp)
-                DDs = jnp.concatenate([DD, jnp.zeros(margin, jnp.uint32)])
-                T32s = jnp.concatenate([T32, jnp.zeros(margin, jnp.int32)])
-                NSs = jnp.concatenate(
-                    [NS, jnp.full(margin, ref.Lp, jnp.int32)])
             dense_s, sflag = _pe_single_slabs(
-                dense_s, DDs, T32s, NSs, jnp.int32(d0),
+                dense_s, DD, T32, NS, jnp.int32(d0),
                 S=S, nblk=nblk, nfl=nfl, K=1 << 13,
                 seqlength=int(tx.seqlength), readlength=rl,
                 ntid=tx.n_transcripts, shard_i=shard_i, shard_n=shard_n)
             if bool(np.asarray(sflag)):
                 raise DeviceBuildOverflow(
                     "singleton slab tid-run capacity exceeded")
-            del DD, DDs, T32s, NSs
+            del DD
     else:
         del DD
         Ss = MV
@@ -2257,10 +2269,10 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
                     [RKs, jnp.full(Ss, BIG_RANK, jnp.int32)])
             for k in range(shard_i, n_schunks, shard_n):
                 dense_s = _pe_single_chunk(
-                    dense_s, SPs, RKs, RW, RF32, T32, ref.nsep,
+                    dense_s, SPs, RKs, RW, RF32, T32, NS,
                     jnp.int32(k * Ss), jnp.int32(d0), Ss=Ss, nfl=nfl,
                     unstranded=two, borderpos=int(tx.borderpos),
-                    seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
+                    seqlength=int(tx.seqlength), readlength=rl, Lp=Lp_k)
             del SPs, RKs
             _psync(dense_s)
 
@@ -2274,11 +2286,11 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
 
         def expand(k):
             return _pe_expand_sort(
-                RW, RF32, T32, ref.nsep, m1pos_ext, m1rank_ext,
+                RW, RF32, T32, NS, m1pos_ext, m1rank_ext,
                 jnp.int32(1 + k * M), jnp.int32(d0),
                 M=M, V=V, nfl=nfl, max_repeat=int(cfg.max_repeat),
                 unstranded=two, borderpos=int(tx.borderpos),
-                seqlength=int(tx.seqlength), readlength=rl, Lp=ref.Lp)
+                seqlength=int(tx.seqlength), readlength=rl, Lp=Lp_k)
 
         # depth-2 software pipeline: chunk k+1's expansion is dispatched
         # before chunk k's probe counters are fetched, so the device keeps
