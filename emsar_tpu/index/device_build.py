@@ -2168,9 +2168,18 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         if fast_singles:
             ns_d, nm_d = _pe_cluster_counts(spos, rank, jnp.int32(nvalid_i))
             ns_i, nm_i = int(np.asarray(ns_d)), int(np.asarray(nm_d))
+            # halve R/DD BEFORE the compaction: its [N]-scale temporaries
+            # next to two full [Lp] tables peaked ~15.5 GB at human scale
+            S = min(1 << 17 if nfl < 128 else 1 << 16,
+                    _next_pow2(max(n1, 1024)))
+            LpE = _quantize_size(_pad_to(n1, S) + S + (fl_max - rl) + 64)
+            R = _resize_table(R, LpE, BIG_RANK)
+            DD = _resize_table(DD, LpE, jnp.uint32(0))
+            _psync(R)
             nm_cap = min(_quantize_size(nm_i + 256), spos.shape[0])
             SPm, RKm = _pe_compact_multi(spos, rank, jnp.int32(nvalid_i),
                                          N_out=nm_cap)
+            _psync(SPm)
             SPs = RKs = None
         else:
             SPs, RKs, SPm, RKm, ns_d, nm_d = _pe_partition_clusters(
@@ -2208,18 +2217,14 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         # m1*_ext are built only after the singleton pass frees SPs/RKs
         # — ordering that keeps human-scale peak HBM in budget
         if fast_singles:
-            # stranded reads stay in the fw half (+ slab margin): resize
-            # the position tables to LpE (~5.4 GB back at human scale)
-            S = min(1 << 17 if nfl < 128 else 1 << 16,
-                    _next_pow2(max(n1, 1024)))
-            LpE = _quantize_size(_pad_to(n1, S) + S + (fl_max - rl) + 64)
-            R = _resize_table(R, LpE, BIG_RANK)
-            DD = _resize_table(DD, LpE, jnp.uint32(0))
+            # R/DD were already halved before the compaction; T32/NS are
+            # generated full-size then sliced (one at a time)
             T32 = _resize_table(ref.t32(rl), LpE, 0)
+            _psync(T32)
             NS = _resize_table(ref.nsep, LpE, LpE)
             ref._nsep = None  # drop the full-size cached copy
+            _psync(NS)
         else:
-            S = LpE = None
             T32 = ref.t32(rl)
             NS = ref.nsep
         Lp_k = LpE if fast_singles else ref.Lp
