@@ -368,6 +368,14 @@ def _nsep_kernel(seppos, Lp: int):
     return jax.lax.cummin(marks, reverse=True)
 
 
+@functools.partial(jax.jit, static_argnames=("LpE", "n1"))
+def _t32_fw(tidf, LpE: int, n1: int):
+    """fw-half tid table at the fast-path size: positions >= n1 are only
+    ever read on masked rows (zero fill)."""
+    return jnp.concatenate([jax.lax.slice(tidf, (0,), (n1,)),
+                            jnp.zeros(LpE - n1, jnp.int32)])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("Lp", "borderpos", "seqlength",
                                     "readlength"))
@@ -2217,12 +2225,14 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         # m1*_ext are built only after the singleton pass frees SPs/RKs
         # — ordering that keeps human-scale peak HBM in budget
         if fast_singles:
-            # R/DD were already halved before the compaction; T32/NS are
-            # generated full-size then sliced (one at a time)
-            T32 = _resize_table(ref.t32(rl), LpE, 0)
+            # R/DD were already halved before the compaction; T32 and NS
+            # generate DIRECTLY at LpE — the full-[Lp] t32/nsep kernels
+            # (2.7 GB output + flip intermediates each) OOMed here
+            tidf = _tid_forward(ref.cuml, size=_pad_to(n1 + 2, 256))
+            T32 = _t32_fw(tidf, LpE=LpE, n1=n1)
+            del tidf
             _psync(T32)
-            NS = _resize_table(ref.nsep, LpE, LpE)
-            ref._nsep = None  # drop the full-size cached copy
+            NS = _nsep_kernel(jnp.asarray(ref._seppos_host), LpE)
             _psync(NS)
         else:
             T32 = ref.t32(rl)
