@@ -1578,15 +1578,19 @@ def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
     n = max(int(ncand_hint), 1)
     # very large builds (the F1-400 class: ~100 G candidates, ~76 M
     # unique (signature, fraglen) rows — measured on the reference's
-    # human F1-400 output) get a bigger record table plus the host-drain
-    # path (_maintain drains folded unique rows past TABCAP/2); smaller
-    # builds keep the round-4 capacities (and their cached executables)
+    # human F1-400 output) need the record table to HOLD the full unique
+    # set: signatures recur across the whole cluster-rank space, so any
+    # capacity below it re-drains the active set once per epoch (measured
+    # fatal: a 537 MB host drain every other chunk).  2^27 rows = 2.1 GB
+    # holds ~100 M uniques with fold headroom; the host-drain path stays
+    # as a graceful-degradation safety beyond that.  Smaller builds keep
+    # the round-4 capacities (and their cached executables).
     big = n > (1 << 33)
     return dict(
-        TABCAP=(1 << 26) if big else min(_next_pow2(n + 1024), 1 << 25),
+        TABCAP=(1 << 27) if big else min(_next_pow2(n + 1024), 1 << 25),
         MEMCAP=min(_next_pow2(2 * n + 64), 1 << 24),
         CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 25),
-        UCAP=(1 << 26) if big else min(_next_pow2(n + 64), 1 << 25),
+        UCAP=(1 << 27) if big else min(_next_pow2(n + 64), 1 << 25),
     )
 
 
@@ -2318,15 +2322,20 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
             nxt = expand(ks[ki + 1]) if ki + 1 < len(ks) else None
             sck, srk, spay, rc_d, me_d = pending
             rc_i, me_i = int(np.asarray(rc_d)), int(np.asarray(me_d))
-            Uk = min(max(_next_pow2(rc_i + 64), 1 << 12), E,
+            # quantized (not pow2) record capacity: U-scale claim and
+            # row-gather ops are ~60% of a chunk, and next_pow2 doubled
+            # them whenever rec sat just above a power of two
+            Uk = min(max(_quantize_size(rc_i + 64), 1 << 12), E,
                      caps["TABCAP"] // 4)
             state, *win = _pe_chunk_accum(
                 state, sck, srk, spay, jnp.int32(k),
                 jnp.int32(_launch_base(k, E)), nfl=nfl,
                 max_repeat=int(cfg.max_repeat), U=Uk)
             del sck, srk
+            # fold bound: the next launch appends at most E records
             state, drained = _maintain(state, caps, drained,
-                                       caps["TABCAP"] // 4, win=win,
+                                       min(E, caps["TABCAP"] // 4),
+                                       win=win,
                                        tids_sorted=spay, src0=0,
                                        chunk_id=k, tid_shift=9,
                                        chunk_base=_launch_base(k, E),
@@ -2569,12 +2578,15 @@ def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
         K = min(_next_pow2(max(int(scal[1]), 1024)), caps["TABCAP"])
         state = _tab_fold(state, K=K)
         if drained_tab is not None:
-            # unique rows can exceed any fixed TABCAP (the F1-400 human
-            # build holds ~76 M): when a fold leaves the table more than
-            # half full, drain the folded unique rows to the host (counts
-            # merge associatively at finalize) and reset
+            # unique rows can exceed any fixed TABCAP: when a fold
+            # leaves the table more than 3/4 full, drain the folded
+            # unique rows to the host (counts merge associatively at
+            # finalize) and reset.  This is graceful degradation only —
+            # every re-drained epoch re-transfers the active signature
+            # set, so TABCAP is sized to make drains rare (zero on the
+            # measured F1-400 workload)
             folded_n = int(np.asarray(state["tab_n"]))
-            if folded_n > caps["TABCAP"] // 2:
+            if folded_n > caps["TABCAP"] * 3 // 4:
                 k = min(_next_pow2(max(folded_n, 1)), caps["TABCAP"])
                 drained_tab.append(tuple(
                     np.asarray(state[f][:k])[:folded_n].copy()
