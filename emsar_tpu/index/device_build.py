@@ -1576,21 +1576,22 @@ def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
     ~1.2 GB device memory at the ceilings (human-scale PE also keeps four
     [Lp] rank-space tables resident, so state headroom matters)."""
     n = max(int(ncand_hint), 1)
-    # very large builds (the F1-400 class: ~100 G candidates, ~76 M
-    # unique (signature, fraglen) rows — measured on the reference's
-    # human F1-400 output) need the record table to HOLD the full unique
-    # set: signatures recur across the whole cluster-rank space, so any
-    # capacity below it re-drains the active set once per epoch (measured
-    # fatal: a 537 MB host drain every other chunk).  2^27 rows = 2.1 GB
-    # holds ~100 M uniques with fold headroom; the host-drain path stays
-    # as a graceful-degradation safety beyond that.  Smaller builds keep
-    # the round-4 capacities (and their cached executables).
+    # Large builds get a 2^26-row record table (1 GB; folds at this size
+    # fit next to the expansion working set — a 2^27 fold's variadic
+    # sort transient OOMed).  NOTE the measured F1-400 ceiling: that
+    # workload holds 76 M unique (signature, fraglen) rows which recur
+    # across the whole cluster-rank space, so ANY per-(sig, fl) record
+    # table below the unique count re-drains the active set once per
+    # epoch (measured: 537 MB host drain every other chunk).  The
+    # identified fix is a SIGNATURE-keyed table (294 K uniques measured)
+    # with per-row dense fraglen vectors — records then fold into
+    # ~0.3 GB and never drain; see BASELINE_MEASURED round-5.
     big = n > (1 << 33)
     return dict(
-        TABCAP=(1 << 27) if big else min(_next_pow2(n + 1024), 1 << 25),
+        TABCAP=(1 << 26) if big else min(_next_pow2(n + 1024), 1 << 25),
         MEMCAP=min(_next_pow2(2 * n + 64), 1 << 24),
         CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 25),
-        UCAP=(1 << 27) if big else min(_next_pow2(n + 64), 1 << 25),
+        UCAP=(1 << 26) if big else min(_next_pow2(n + 64), 1 << 25),
     )
 
 
