@@ -861,8 +861,11 @@ def _pe_single_slabs(dense_s, DD, T32, NS, d0,
         nsp = jax.lax.dynamic_slice(NS, (p0,), (S,))
         dmax = nsp - rl - p
         # candidate/partner validity bound: slot index <= rb (d-range,
-        # next-separator, and in_range guards of _pe_cvalid)
-        rb = jnp.minimum(jnp.minimum(jnp.int32(nfl - 1), dmax),
+        # next-separator, and in_range guards of _pe_cvalid; the
+        # separator guard is on d = d0 + slot, so the slot bound is
+        # dmax - d0 — missing the d0 shift overcounted every row by up
+        # to d0 slots at fl_min > readlength)
+        rb = jnp.minimum(jnp.minimum(jnp.int32(nfl - 1), dmax - d0),
                          seqlength - rl - d0 - p)
         rows = []
         for ddi in range(nfl):

@@ -179,3 +179,16 @@ def test_rsh_text_roundtrip(tmp_path):
     p3 = str(tmp_path / "c.rsh")
     idx3.write_text(p3)
     assert open(p1, "rb").read() == open(p3, "rb").read()
+
+
+def test_pe_stranded_chunk_min_frag_golden(tmp_path, monkeypatch):
+    """Fast singleton slab pass with fl_min > readlength (d0 > 0): the
+    separator/d-range guards bound d = d0 + slot, not the slot alone —
+    the human F290-300 build overcounted singles by up to d0 before the
+    rb shift (every earlier case used min_frag=1, d0=0)."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(30), n=15, readlength=20,
+              pe=True, strand="ssfr", max_frag=120, min_frag=50)
+    _run_case(tmp_path, np.random.default_rng(31), n=15, readlength=20,
+              pe=True, strand="ssfr", max_frag=80, min_frag=60)
