@@ -632,11 +632,64 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
     r1 = G_end[:, 1] - G_sta[:, 1]
     r2 = G_end[:, 2] - G_sta[:, 2]
     r3 = ((G_end[:, 3] - G_sta[:, 3]) & jnp.uint32(0xFFFFFE00)) | rfl
+    use_sig = "sig_dir" in state
+    if use_sig:
+        # signature-keyed dense accumulation (big builds: 76 M unique
+        # (sig, fl) rows at F1-400 recur forever and would drain any
+        # fixed append table every epoch, but only ~294 K signatures):
+        # probe an open-address directory for the record's SIGNATURE row,
+        # claim-insert first occurrences, and scatter-add the count into
+        # that row's dense fraglen vector.  Hash-slot collisions with a
+        # different resident identity and row spill past SIGROWS fall
+        # back to the (sig, fl) append table — routing is per-record and
+        # each run is exactly one record, so counts merge exactly at
+        # finalize no matter which path a record took.
+        D = state["sig_dir"]
+        SIGSLOT = D.shape[0]
+        SIGROWS = state["sig_dense"].shape[0] // nfl
+        id3 = r3 & jnp.uint32(0xFFFFFE00)
+        idh = _mix32(r1 ^ _mix32(r2 ^ _mix32(id3)))
+        slot = jnp.where(rec_valid,
+                         (idh & jnp.uint32(SIGSLOT - 1)).astype(jnp.int32),
+                         SIGSLOT)
+        slot_c = jnp.clip(slot, 0, SIGSLOT - 1)
+        g = D[slot_c]                                # [Ue, 4] row gather
+        occ = g[:, 3] != 0
+        hit = (rec_valid & occ & (g[:, 0] == r1) & (g[:, 1] == r2)
+               & (g[:, 2] == id3))
+        cand = rec_valid & ~occ
+        jj = jnp.arange(Ue, dtype=jnp.int32)
+        sc = jnp.full(SIGSLOT, jnp.int32(0x7FFFFFFF)).at[
+            jnp.where(cand, slot, SIGSLOT)].min(jj, mode="drop")
+        winner = cand & (sc[slot_c] == jj)
+        newrow = state["sig_n"] + jnp.cumsum(winner.astype(jnp.int32)) - 1
+        ins = winner & (newrow < SIGROWS)
+        ins_rows = jnp.stack(
+            [r1, r2, id3,
+             jnp.where(ins, (newrow + 1).astype(jnp.uint32),
+                       jnp.uint32(0))], axis=1)
+        D = D.at[jnp.where(ins, slot, SIGSLOT)].set(
+            ins_rows, mode="drop", unique_indices=True)
+        g2 = D[slot_c]       # re-probe: intra-launch repeats of a fresh
+        hit2 = (cand & ~winner & (g2[:, 3] != 0)       # signature hit it
+                & (g2[:, 0] == r1) & (g2[:, 1] == r2) & (g2[:, 2] == id3))
+        row = jnp.where(
+            hit, g[:, 3].astype(jnp.int32) - 1,
+            jnp.where(ins, newrow,
+                      jnp.where(hit2, g2[:, 3].astype(jnp.int32) - 1,
+                                -1)))
+        sig_dense = state["sig_dense"].at[
+            jnp.where(row >= 0, row * nfl + rfl.astype(jnp.int32),
+                      state["sig_dense"].shape[0])].add(1, mode="drop")
+        sig_n = state["sig_n"] + jnp.sum(ins, dtype=jnp.int32)
+        rec_tab = rec_valid & (row < 0)   # collisions + spill only
+    else:
+        rec_tab = rec_valid
     # dead rows carry the all-ones identity + cnt 0 (no flag operand)
-    tab_arrays = [jnp.where(rec_valid, r1, CLAIM_EMPTY),
-                  jnp.where(rec_valid, r2, CLAIM_EMPTY),
-                  jnp.where(rec_valid, r3, CLAIM_EMPTY),
-                  jnp.where(rec_valid, jnp.uint32(1), jnp.uint32(0))]
+    tab_arrays = [jnp.where(rec_tab, r1, CLAIM_EMPTY),
+                  jnp.where(rec_tab, r2, CLAIM_EMPTY),
+                  jnp.where(rec_tab, r3, CLAIM_EMPTY),
+                  jnp.where(rec_tab, jnp.uint32(1), jnp.uint32(0))]
     tab_bufs = [state["tab_h1"], state["tab_h2"],
                 state["tab_h3fl"], state["tab_cnt"]]
     tabs, tab_n, flags = _append_block(tab_arrays, tab_bufs, state["tab_n"],
@@ -671,6 +724,8 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                  tab_h3fl=tabs[2], tab_cnt=tabs[3],
                  tab_n=tab_n, claim1=claim1, claim2=claim2, claim3=claim3,
                  flags=flags)
+    if use_sig:
+        state.update(sig_dir=D, sig_dense=sig_dense, sig_n=sig_n)
     return state, win_row, rsg, rpk, n_win, wmem
 
 
@@ -1568,42 +1623,79 @@ def _tab_finalize(tab_h1, tab_h2, tab_h3fl, tab_cnt, UCAP: int):
         tab_h1, tab_h2, tab_h3fl, tab_cnt)
     return (h1[:UCAP], h2[:UCAP], h3[:UCAP], cnt[:UCAP], n_unique)
 
+@functools.partial(jax.jit, static_argnames=("SIGROWS",))
+def _sig_rows_by_index(sig_dir, SIGROWS: int):
+    """Compact the slot-indexed signature directory to row order: one
+    [SLOTCAP, 4] -> [SIGROWS, 4] scatter keyed by each occupied slot's
+    stored row+1 (finalize-only; rows past sig_n stay zero)."""
+    rowp = sig_dir[:, 3].astype(jnp.int32)
+    dst = jnp.where(rowp > 0, rowp - 1, SIGROWS)
+    return jnp.zeros((SIGROWS, 4), jnp.uint32).at[dst].set(
+        sig_dir, mode="drop", unique_indices=True)
+
+
 # --------------------------------------------------------------------------
 # host orchestration
 # --------------------------------------------------------------------------
 
 
-def _caps_partitioned(ncand_hint: int) -> Dict[str, int]:
+def _caps_partitioned(ncand_hint: int, nfl: int = 1) -> Dict[str, int]:
     """Capacities for prefix-partitioned builds: the record table folds in
     place, members drain to host, so these bound *live* data, not totals.
     ~1.2 GB device memory at the ceilings (human-scale PE also keeps four
-    [Lp] rank-space tables resident, so state headroom matters)."""
+    [Lp] rank-space tables resident, so state headroom matters).
+
+    SIGSLOT/SIGROWS (> 0 when enabled) size the SIGNATURE-keyed dense
+    accumulator: the F1-400 human workload holds 76 M unique
+    (signature, fraglen) rows that recur across the whole cluster-rank
+    space — any per-(sig, fl) record table below the unique count
+    re-drains the active set once per epoch (measured: 537 MB host
+    drain every other chunk) — but only 294 K unique SIGNATURES, so a
+    signature-keyed directory with per-row dense fraglen count vectors
+    holds the whole multi-record state in ~0.6 GB and the (sig, fl)
+    append table carries only hash-slot collisions and row spill.
+    Enabled for big builds by default; EMSAR_SIG_TABLE=1/0 overrides."""
     n = max(int(ncand_hint), 1)
-    # Large builds get a 2^26-row record table (1 GB; folds at this size
-    # fit next to the expansion working set — a 2^27 fold's variadic
-    # sort transient OOMed).  NOTE the measured F1-400 ceiling: that
-    # workload holds 76 M unique (signature, fraglen) rows which recur
-    # across the whole cluster-rank space, so ANY per-(sig, fl) record
-    # table below the unique count re-drains the active set once per
-    # epoch (measured: 537 MB host drain every other chunk).  The
-    # identified fix is a SIGNATURE-keyed table (294 K uniques measured)
-    # with per-row dense fraglen vectors — records then fold into
-    # ~0.3 GB and never drain; see BASELINE_MEASURED round-5.
     big = n > (1 << 33)
+    sig_env = os.environ.get("EMSAR_SIG_TABLE", "")
+    use_sig = big if sig_env == "" else sig_env != "0"
+    if use_sig:
+        # directory slots ~32x the expected unique-signature count keep
+        # the collision (-> append-table) rate negligible; dense rows are
+        # memory-bounded (~0.6 GB at nfl=300) and spill gracefully
+        sigslot = (1 << 23) if big else min(
+            _next_pow2(max(n // 8, 1024)), 1 << 23)
+        rows_mem = 1 << (((768 << 20) // (4 * max(nfl, 1))).bit_length() - 1)
+        sigrows = max(min((1 << 21) if not big else rows_mem,
+                          rows_mem, _next_pow2(max(n // 8, 1024))), 1024)
+    else:
+        sigslot = sigrows = 0
     return dict(
-        TABCAP=(1 << 26) if big else min(_next_pow2(n + 1024), 1 << 25),
+        # with the signature table the append path carries only
+        # collisions/spill, so big builds keep the 2^25 table (a 2^26
+        # fold next to the expansion working set was the round-5 OOM)
+        TABCAP=(1 << 26) if (big and not use_sig)
+        else min(_next_pow2(n + 1024), 1 << 25),
         MEMCAP=min(_next_pow2(2 * n + 64), 1 << 24),
         CLAIM=min(_next_pow2(max(n // 2, 1024)), 1 << 25),
         UCAP=(1 << 26) if big else min(_next_pow2(n + 64), 1 << 25),
+        SIGSLOT=sigslot, SIGROWS=sigrows,
     )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_dense", "tabcap", "memcap", "claim"))
-def _init_state_dev(n_dense: int, tabcap: int, memcap: int, claim: int):
+                   static_argnames=("n_dense", "tabcap", "memcap", "claim",
+                                    "sigslot", "sigrows", "nfl"))
+def _init_state_dev(n_dense: int, tabcap: int, memcap: int, claim: int,
+                    sigslot: int = 0, sigrows: int = 0, nfl: int = 1):
     """All state buffers materialized in ONE device program (eagerly, each
-    full/zeros is a separate tunnel dispatch)."""
-    return dict(
+    full/zeros is a separate tunnel dispatch).
+
+    ``sigslot > 0`` adds the signature-keyed dense accumulator:
+    ``sig_dir`` [sigslot, 4] open-address directory rows
+    (id1, id2, id3, row+1; row+1 == 0 marks an empty slot) and
+    ``sig_dense`` [sigrows * nfl] per-signature dense fraglen counts."""
+    st = dict(
         dense=jnp.zeros(n_dense, jnp.int32),
         tab_h1=jnp.full(tabcap, CLAIM_EMPTY, jnp.uint32),
         tab_h2=jnp.full(tabcap, CLAIM_EMPTY, jnp.uint32),
@@ -1619,11 +1711,18 @@ def _init_state_dev(n_dense: int, tabcap: int, memcap: int, claim: int):
         claim3=jnp.full(claim, CLAIM_EMPTY, jnp.uint32),
         flags=jnp.zeros(4, jnp.int32),
     )
+    if sigslot:
+        st["sig_dir"] = jnp.zeros((sigslot, 4), jnp.uint32)
+        st["sig_dense"] = jnp.zeros(sigrows * nfl, jnp.uint32)
+        st["sig_n"] = jnp.zeros((), jnp.int32)
+    return st
 
 
 def _init_state(ntid: int, nfl: int, caps: Dict[str, int]):
     return _init_state_dev(n_dense=ntid * nfl, tabcap=caps["TABCAP"],
-                           memcap=caps["MEMCAP"], claim=caps["CLAIM"])
+                           memcap=caps["MEMCAP"], claim=caps["CLAIM"],
+                           sigslot=caps.get("SIGSLOT", 0),
+                           sigrows=caps.get("SIGROWS", 0), nfl=nfl)
 
 
 @functools.partial(jax.jit, static_argnames=("Lp", "nv", "two"),
@@ -1718,6 +1817,28 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     uh2 = fetch(uh2, rows)
     uh3fl = fetch(uh3fl, rows)
     ucnt = fetch(ucnt, rows)
+    if "sig_dir" in state:
+        # expand the signature-keyed dense accumulator into (sig, fl)
+        # unique rows and merge them like a drained batch (each run was
+        # recorded in exactly one of: dense table, append table)
+        sig_n = int(np.asarray(state["sig_n"]))
+        if sig_n:
+            SIGROWS = state["sig_dense"].shape[0] // nfl
+            ids = fetch(_sig_rows_by_index(state["sig_dir"],
+                                           SIGROWS=SIGROWS), sig_n)
+            cells = fetch(state["sig_dense"], sig_n * nfl
+                          ).reshape(sig_n, nfl)
+            if profile:
+                print(f"[profile] finalize: sig rows={sig_n} "
+                      f"fetch {_time.perf_counter() - t0:.2f}s",
+                      flush=True)
+                t0 = _time.perf_counter()
+            ri, fi = np.nonzero(cells)
+            drained_tab = list(drained_tab or [])
+            drained_tab.append((
+                ids[ri, 0], ids[ri, 1],
+                ids[ri, 2] | fi.astype(np.uint32),
+                cells[ri, fi]))
     if drained_tab:
         # merge the mid-build drained unique-row batches: same 87-bit
         # identity + fraglen -> counts add (each run was recorded in
@@ -2080,7 +2201,7 @@ def _build_pe_global(tx: Transcriptome, ref: DeviceRef, R, rl: int,
         A, B, P = _sort_payload3(A, B, P)
         _psync(P)
 
-    caps = _caps_partitioned(E)
+    caps = _caps_partitioned(E, nfl=nfl)
     state = _init_state(tx.n_transcripts, nfl, caps)
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     drained_tab: List[tuple] = []
@@ -2252,7 +2373,7 @@ def build_pe_index_device(tx: Transcriptome, readlength: int,
         # partitioned-scale capacities: the record table folds in place
         # and members drain to host, so human-scale cluster-path builds
         # (record totals far beyond any fixed table) stay in budget
-        caps = _caps_partitioned(Npos * nfl)
+        caps = _caps_partitioned(Npos * nfl, nfl=nfl)
 
     import os as _os
     profile = bool(_os.environ.get("EMSAR_DEVBUILD_PROFILE"))
@@ -2387,7 +2508,7 @@ def build_se_index_device(tx: Transcriptome, readlength_min: int,
     with phase("SE dev: reference upload", cfg.verbose):
         ref = DeviceRef(tx)
     ncand = sum(max(borderpos - l + 1, 0) for l in range(lmin, lmax + 1))
-    caps = _caps_partitioned(ncand)
+    caps = _caps_partitioned(ncand, nfl=nfl)
     state = _init_state(tx.n_transcripts, nfl, caps)
     drained: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     drained_tab: List[tuple] = []
@@ -2587,8 +2708,10 @@ def _maintain(state, caps, drained, U, win=None, tids_sorted=None,
             # unique rows to the host (counts merge associatively at
             # finalize) and reset.  This is graceful degradation only —
             # every re-drained epoch re-transfers the active signature
-            # set, so TABCAP is sized to make drains rare (zero on the
-            # measured F1-400 workload)
+            # set (measured 537 MB every other chunk at F1-400 human
+            # scale BEFORE the signature-keyed dense table; with it the
+            # append table carries only hash collisions/row spill and
+            # drains never fire on that workload)
             folded_n = int(np.asarray(state["tab_n"]))
             if folded_n > caps["TABCAP"] * 3 // 4:
                 k = min(_next_pow2(max(folded_n, 1)), caps["TABCAP"])

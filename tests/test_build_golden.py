@@ -192,3 +192,45 @@ def test_pe_stranded_chunk_min_frag_golden(tmp_path, monkeypatch):
               pe=True, strand="ssfr", max_frag=120, min_frag=50)
     _run_case(tmp_path, np.random.default_rng(31), n=15, readlength=20,
               pe=True, strand="ssfr", max_frag=80, min_frag=60)
+
+
+def test_sig_table_golden(tmp_path, monkeypatch):
+    """Signature-keyed dense record accumulation (the big-build path:
+    directory probe + claim-insert + per-row dense fraglen vectors,
+    collision/spill fallback to the append table) forced on at small
+    scale through the PE global, PE cluster-chunked, and SE pipelines."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setenv("EMSAR_SIG_TABLE", "1")
+    _run_case(tmp_path, np.random.default_rng(30), n=15, readlength=20,
+              pe=True, max_frag=60, min_frag=1)
+    _run_case(tmp_path, np.random.default_rng(31), n=40, readlength=20,
+              pe=False)
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(32), n=15, readlength=18,
+              pe=True, strand="ssfr", max_frag=55, min_frag=1)
+    _run_case(tmp_path, np.random.default_rng(33), n=12, readlength=20,
+              pe=True, max_frag=120, min_frag=1)
+
+
+def test_sig_table_spill_golden(tmp_path, monkeypatch):
+    """Row spill: a 2-row signature table forces nearly every signature
+    through the claim-winner -> spill -> append-table fallback, which
+    must still produce byte-identical output (routing is per-record and
+    counts merge associatively at finalize)."""
+    from emsar_tpu.index import device_build
+    monkeypatch.setenv("EMSAR_SIG_TABLE", "1")
+    orig = device_build._caps_partitioned
+
+    def tiny(ncand_hint, nfl=1):
+        caps = orig(ncand_hint, nfl=nfl)
+        if caps.get("SIGROWS"):
+            caps["SIGROWS"] = 2
+            caps["SIGSLOT"] = 64  # force slot collisions too
+        return caps
+
+    monkeypatch.setattr(device_build, "_caps_partitioned", tiny)
+    _run_case(tmp_path, np.random.default_rng(34), n=15, readlength=20,
+              pe=True, max_frag=60, min_frag=1)
+    monkeypatch.setattr(device_build, "PE_GLOBAL_BUDGET", 0)
+    _run_case(tmp_path, np.random.default_rng(35), n=15, readlength=18,
+              pe=True, strand="ssfr", max_frag=55, min_frag=1)

@@ -77,8 +77,8 @@ def test_partitioned_se_matches_single(tmp_path, strand, limit,
     # shrink live-buffer caps so folding and member draining actually run
     real_caps = device_build._caps_partitioned
 
-    def tiny_caps(ncand):
-        c = real_caps(ncand)
+    def tiny_caps(ncand, nfl=1):
+        c = real_caps(ncand, nfl=nfl)
         c["TABCAP"] = min(c["TABCAP"], 1 << 13)
         c["MEMCAP"] = min(c["MEMCAP"], 1 << 12)
         return c
