@@ -668,8 +668,13 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
             [r1, r2, id3,
              jnp.where(ins, (newrow + 1).astype(jnp.uint32),
                        jnp.uint32(0))], axis=1)
-        D = D.at[jnp.where(ins, slot, SIGSLOT)].set(
-            ins_rows, mode="drop", unique_indices=True)
+        # NO unique_indices here: the dropped (non-ins) rows all carry
+        # the same out-of-bounds index, and on TPU that broken promise
+        # silently dropped a fraction of the real inserts (the lost
+        # signatures then flowed through the append-table fallback
+        # forever — still byte-correct, but the dense table never
+        # absorbed them)
+        D = D.at[jnp.where(ins, slot, SIGSLOT)].set(ins_rows, mode="drop")
         g2 = D[slot_c]       # re-probe: intra-launch repeats of a fresh
         hit2 = (cand & ~winner & (g2[:, 3] != 0)       # signature hit it
                 & (g2[:, 0] == r1) & (g2[:, 1] == r2) & (g2[:, 2] == id3))
@@ -683,6 +688,14 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                       state["sig_dense"].shape[0])].add(1, mode="drop")
         sig_n = state["sig_n"] + jnp.sum(ins, dtype=jnp.int32)
         rec_tab = rec_valid & (row < 0)   # collisions + spill only
+        # routing diagnostics (fetched at finalize under profile; the
+        # axon backend has no debug.print/callback support): uint32
+        # saturation is acceptable for a health counter
+        sig_stats = state["sig_stats"] + jnp.stack(
+            [jnp.sum(rec_valid, dtype=jnp.uint32),
+             jnp.sum(hit, dtype=jnp.uint32),
+             jnp.sum(ins, dtype=jnp.uint32),
+             jnp.sum(rec_tab, dtype=jnp.uint32)])
     else:
         rec_tab = rec_valid
     # dead rows carry the all-ones identity + cnt 0 (no flag operand)
@@ -725,7 +738,8 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                  tab_n=tab_n, claim1=claim1, claim2=claim2, claim3=claim3,
                  flags=flags)
     if use_sig:
-        state.update(sig_dir=D, sig_dense=sig_dense, sig_n=sig_n)
+        state.update(sig_dir=D, sig_dense=sig_dense, sig_n=sig_n,
+                     sig_stats=sig_stats)
     return state, win_row, rsg, rpk, n_win, wmem
 
 
@@ -1630,8 +1644,9 @@ def _sig_rows_by_index(sig_dir, SIGROWS: int):
     stored row+1 (finalize-only; rows past sig_n stay zero)."""
     rowp = sig_dir[:, 3].astype(jnp.int32)
     dst = jnp.where(rowp > 0, rowp - 1, SIGROWS)
+    # no unique_indices: every empty slot shares the same dropped index
     return jnp.zeros((SIGROWS, 4), jnp.uint32).at[dst].set(
-        sig_dir, mode="drop", unique_indices=True)
+        sig_dir, mode="drop")
 
 
 # --------------------------------------------------------------------------
@@ -1715,6 +1730,7 @@ def _init_state_dev(n_dense: int, tabcap: int, memcap: int, claim: int,
         st["sig_dir"] = jnp.zeros((sigslot, 4), jnp.uint32)
         st["sig_dense"] = jnp.zeros(sigrows * nfl, jnp.uint32)
         st["sig_n"] = jnp.zeros((), jnp.int32)
+        st["sig_stats"] = jnp.zeros(4, jnp.uint32)
     return st
 
 
@@ -1822,6 +1838,10 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
         # unique rows and merge them like a drained batch (each run was
         # recorded in exactly one of: dense table, append table)
         sig_n = int(np.asarray(state["sig_n"]))
+        if profile:
+            st4 = np.asarray(state["sig_stats"])
+            print(f"[profile] finalize: sig routing rec={st4[0]} "
+                  f"hit={st4[1]} ins={st4[2]} rem={st4[3]}", flush=True)
         if sig_n:
             SIGROWS = state["sig_dense"].shape[0] // nfl
             ids = fetch(_sig_rows_by_index(state["sig_dir"],
@@ -1903,10 +1923,24 @@ def _finalize_host(tx: Transcriptome, state, caps, nfl: int,
     fl_ind = (uh3fl & np.uint32(0x1FF)).astype(np.int64)
     k3 = uh3fl & np.uint32(0xFFFFFE00)
     row_keys = np.stack([uh1, uh2, k3], axis=1).astype(np.uint32)
-    uniq, inv = np.unique(np.concatenate([ex_keys, row_keys]), axis=0,
-                          return_inverse=True)
+    # unique over the stacked 87-bit keys via packed radix argsorts —
+    # np.unique(axis=0) falls back to void-record comparison sorting,
+    # minutes at the human F1-400 scale (76 M rows) on this 2-core host
+    allk = np.concatenate([ex_keys, row_keys])
+    hi = (allk[:, 0].astype(np.uint64) << np.uint64(32)) | allk[:, 1]
+    lo = allk[:, 2]
+    o1 = np.argsort(lo, kind="stable")
+    order_k = o1[np.argsort(hi[o1], kind="stable")]
+    sh, sl2 = hi[order_k], lo[order_k]
+    newk = np.concatenate([[True], (sh[1:] != sh[:-1])
+                           | (sl2[1:] != sl2[:-1])]) if len(allk) \
+        else np.zeros(0, dtype=bool)
+    uid_sorted = np.cumsum(newk) - 1
+    inv = np.empty(len(allk), dtype=np.int64)
+    inv[order_k] = uid_sorted
+    n_uniq = int(uid_sorted[-1]) + 1 if len(allk) else 0
     ex_uid, row_uid = inv[:G], inv[G:]
-    group_of_uid = np.full(len(uniq), -1, dtype=np.int64)
+    group_of_uid = np.full(n_uniq, -1, dtype=np.int64)
     # last writer wins; duplicates are verified identical below
     group_of_uid[ex_uid] = np.arange(G)
     # exemplar hash collision check: two groups sharing a key must have
