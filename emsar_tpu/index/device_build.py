@@ -658,35 +658,54 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         hit = (rec_valid & occ & (g[:, 0] == r1) & (g[:, 1] == r2)
                & (g[:, 2] == id3))
         cand = rec_valid & ~occ
-        jj = jnp.arange(Ue, dtype=jnp.int32)
-        sc = jnp.full(SIGSLOT, jnp.int32(0x7FFFFFFF)).at[
-            jnp.where(cand, slot, SIGSLOT)].min(jj, mode="drop")
-        winner = cand & (sc[slot_c] == jj)
-        newrow = state["sig_n"] + jnp.cumsum(winner.astype(jnp.int32)) - 1
-        ins = winner & (newrow < SIGROWS)
-        ins_rows = jnp.stack(
-            [r1, r2, id3,
-             jnp.where(ins, (newrow + 1).astype(jnp.uint32),
-                       jnp.uint32(0))], axis=1)
-        # NO unique_indices here: the dropped (non-ins) rows all carry
-        # the same out-of-bounds index, and on TPU that broken promise
-        # silently dropped a fraction of the real inserts (the lost
-        # signatures then flowed through the append-table fallback
-        # forever — still byte-correct, but the dense table never
-        # absorbed them)
-        D = D.at[jnp.where(ins, slot, SIGSLOT)].set(ins_rows, mode="drop")
-        g2 = D[slot_c]       # re-probe: intra-launch repeats of a fresh
-        hit2 = (cand & ~winner & (g2[:, 3] != 0)       # signature hit it
-                & (g2[:, 0] == r1) & (g2[:, 1] == r2) & (g2[:, 2] == id3))
-        row = jnp.where(
-            hit, g[:, 3].astype(jnp.int32) - 1,
-            jnp.where(ins, newrow,
-                      jnp.where(hit2, g2[:, 3].astype(jnp.int32) - 1,
-                                -1)))
+
+        def _insert(D):
+            # claim-insert first occurrences: one winner per empty slot
+            # (scatter-min of record index), rows allocated sequentially
+            # from sig_n; intra-launch repeats of a fresh signature
+            # resolve via a re-probe after the insert
+            jj = jnp.arange(Ue, dtype=jnp.int32)
+            sc = jnp.full(SIGSLOT, jnp.int32(0x7FFFFFFF)).at[
+                jnp.where(cand, slot, SIGSLOT)].min(jj, mode="drop")
+            winner = cand & (sc[slot_c] == jj)
+            newrow = (state["sig_n"]
+                      + jnp.cumsum(winner.astype(jnp.int32)) - 1)
+            ins = winner & (newrow < SIGROWS)
+            ins_rows = jnp.stack(
+                [r1, r2, id3,
+                 jnp.where(ins, (newrow + 1).astype(jnp.uint32),
+                           jnp.uint32(0))], axis=1)
+            # NO unique_indices here: the dropped (non-ins) rows all
+            # carry the same out-of-bounds index, and on TPU that broken
+            # promise silently dropped a fraction of the real inserts
+            # (the lost signatures then flowed through the append-table
+            # fallback forever — still byte-correct, but the dense
+            # table never absorbed them)
+            D2 = D.at[jnp.where(ins, slot, SIGSLOT)].set(ins_rows,
+                                                         mode="drop")
+            g2 = D2[slot_c]
+            hit2 = (cand & ~winner & (g2[:, 3] != 0)
+                    & (g2[:, 0] == r1) & (g2[:, 1] == r2)
+                    & (g2[:, 2] == id3))
+            row_rest = jnp.where(
+                ins, newrow,
+                jnp.where(hit2, g2[:, 3].astype(jnp.int32) - 1, -1))
+            return D2, row_rest, jnp.sum(ins, dtype=jnp.int32)
+
+        # the claim/insert/re-probe sub-path costs 4 U-scale random ops;
+        # once the directory holds the workload's signatures (a few
+        # chunks in) no candidates remain, so it is cond-gated on the
+        # traced candidate count and steady-state chunks skip it
+        D, row_rest, n_ins = jax.lax.cond(
+            jnp.sum(cand, dtype=jnp.int32) > 0, _insert,
+            lambda D: (D, jnp.full(Ue, -1, jnp.int32),
+                       jnp.zeros((), jnp.int32)),
+            D)
+        row = jnp.where(hit, g[:, 3].astype(jnp.int32) - 1, row_rest)
         sig_dense = state["sig_dense"].at[
             jnp.where(row >= 0, row * nfl + rfl.astype(jnp.int32),
                       state["sig_dense"].shape[0])].add(1, mode="drop")
-        sig_n = state["sig_n"] + jnp.sum(ins, dtype=jnp.int32)
+        sig_n = state["sig_n"] + n_ins
         rec_tab = rec_valid & (row < 0)   # collisions + spill only
         # routing diagnostics (fetched at finalize under profile; the
         # axon backend has no debug.print/callback support): uint32
@@ -694,7 +713,7 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
         sig_stats = state["sig_stats"] + jnp.stack(
             [jnp.sum(rec_valid, dtype=jnp.uint32),
              jnp.sum(hit, dtype=jnp.uint32),
-             jnp.sum(ins, dtype=jnp.uint32),
+             n_ins.astype(jnp.uint32),
              jnp.sum(rec_tab, dtype=jnp.uint32)])
     else:
         rec_tab = rec_valid
