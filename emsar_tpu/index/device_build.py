@@ -690,16 +690,16 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
             row_rest = jnp.where(
                 ins, newrow,
                 jnp.where(hit2, g2[:, 3].astype(jnp.int32) - 1, -1))
-            return D2, row_rest, jnp.sum(ins, dtype=jnp.int32)
+            return D2, row_rest, ins, jnp.sum(ins, dtype=jnp.int32)
 
         # the claim/insert/re-probe sub-path costs 4 U-scale random ops;
         # once the directory holds the workload's signatures (a few
         # chunks in) no candidates remain, so it is cond-gated on the
         # traced candidate count and steady-state chunks skip it
-        D, row_rest, n_ins = jax.lax.cond(
+        D, row_rest, ins_mask, n_ins = jax.lax.cond(
             jnp.sum(cand, dtype=jnp.int32) > 0, _insert,
             lambda D: (D, jnp.full(Ue, -1, jnp.int32),
-                       jnp.zeros((), jnp.int32)),
+                       jnp.zeros(Ue, bool), jnp.zeros((), jnp.int32)),
             D)
         row = jnp.where(hit, g[:, 3].astype(jnp.int32) - 1, row_rest)
         sig_dense = state["sig_dense"].at[
@@ -729,20 +729,41 @@ def _postsort_accumulate(state, start, validrow, d_ind, tid, chunk_base,
                                        state["flags"], 0)
 
     # claim tables on the compacted records: the first run (globally, by
-    # start-id order) to claim a slot becomes the signature's exemplar
-    r12 = (r1 >> jnp.uint32(16)) | (r2 << jnp.uint32(16))
-    slot1 = jnp.where(rec_valid, (r1 & jnp.uint32(claim_mask))
-                      .astype(jnp.int32), claim_mask + 1)
-    slot2 = jnp.where(rec_valid, (r2 & jnp.uint32(claim_mask))
-                      .astype(jnp.int32), claim_mask + 1)
-    slot3 = jnp.where(rec_valid, (r12 & jnp.uint32(claim_mask))
-                      .astype(jnp.int32), claim_mask + 1)
-    claim1 = state["claim1"].at[slot1].min(rsg, mode="drop")
-    claim2 = state["claim2"].at[slot2].min(rsg, mode="drop")
-    claim3 = state["claim3"].at[slot3].min(rsg, mode="drop")
-    win_rec = rec_valid & ((claim1[jnp.clip(slot1, 0, claim_mask)] == rsg) |
-                           (claim2[jnp.clip(slot2, 0, claim_mask)] == rsg) |
-                           (claim3[jnp.clip(slot3, 0, claim_mask)] == rsg))
+    # start-id order) to claim a slot becomes the signature's exemplar.
+    # With the signature table, dense-routed records don't need claims —
+    # the directory INSERT winner is the signature's first run globally
+    # and becomes its exemplar directly (exactly one extraction per
+    # signature, no cross-launch steals) — so only append-path residue
+    # participates, and the 3 scatter-min + 3 gather claim ops run at
+    # the (tiny) residue's slot pressure
+    part = rec_tab if use_sig else rec_valid
+
+    def _claims(c1, c2, c3):
+        r12 = (r1 >> jnp.uint32(16)) | (r2 << jnp.uint32(16))
+        slot1 = jnp.where(part, (r1 & jnp.uint32(claim_mask))
+                          .astype(jnp.int32), claim_mask + 1)
+        slot2 = jnp.where(part, (r2 & jnp.uint32(claim_mask))
+                          .astype(jnp.int32), claim_mask + 1)
+        slot3 = jnp.where(part, (r12 & jnp.uint32(claim_mask))
+                          .astype(jnp.int32), claim_mask + 1)
+        c1 = c1.at[slot1].min(rsg, mode="drop")
+        c2 = c2.at[slot2].min(rsg, mode="drop")
+        c3 = c3.at[slot3].min(rsg, mode="drop")
+        won = part & ((c1[jnp.clip(slot1, 0, claim_mask)] == rsg) |
+                      (c2[jnp.clip(slot2, 0, claim_mask)] == rsg) |
+                      (c3[jnp.clip(slot3, 0, claim_mask)] == rsg))
+        return c1, c2, c3, won
+
+    # cond-gated like the insert path: a dropped-index scatter still
+    # pays full U-scale cost, so sig-table chunks with no residue (the
+    # steady state) must skip the 3 scatter-min + 3 gather claim ops
+    # outright, not just mask them
+    claim1, claim2, claim3, win_rec = jax.lax.cond(
+        jnp.sum(part, dtype=jnp.int32) > 0, _claims,
+        lambda c1, c2, c3: (c1, c2, c3, jnp.zeros(Ue, bool)),
+        state["claim1"], state["claim2"], state["claim3"])
+    if use_sig:
+        win_rec = win_rec | ins_mask
     n_win = jnp.sum(win_rec, dtype=jnp.int32)
 
     # compact the winner runs' RECORD ROWS to the front (one scatter);
